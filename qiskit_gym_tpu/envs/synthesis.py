@@ -1,0 +1,404 @@
+"""User-facing synthesis gyms.
+
+API parity with the reference Python layer (reference envs/synthesis.py:
+from_coupling_map gateset expansion, from_json signature filtering, get_state
+encodings, build_circuit_from_solution + per-family post-processing), built
+on this framework's own quantum layer (no qiskit dependency; qiskit objects
+are accepted via the optional bridge in quantum/qiskit_interop.py).
+
+Each gym owns:
+- `core`:  the batched JAX env (ops/) used by training/search,
+- `spec`:  a numpy single-env twin (spec/) that backs the Gymnasium adapter
+           and provides the host-side twists.
+"""
+
+from __future__ import annotations
+
+import inspect
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from qiskit_gym_tpu.ops.matrix_env import MatrixEnvCore
+from qiskit_gym_tpu.ops.permutation import PermutationEnvCore
+from qiskit_gym_tpu.quantum import (
+    Circuit,
+    Clifford,
+    linear_from_circuit,
+    linear_from_clifford,
+    permutation_pattern,
+)
+from qiskit_gym_tpu.spec import (
+    CliffordSpecEnv,
+    LinearFunctionSpecEnv,
+    PauliSpecEnv,
+    PermutationSpecEnv,
+)
+from qiskit_gym_tpu.spec.pauli_env import decode_solution as decode_pauli_solution
+
+ONE_Q_GATES = ["H", "S", "Sdg", "SX", "SXdg"]
+TWO_Q_GATES = ["CX", "CZ", "SWAP"]
+
+ROTATION_MARKER = 0x80000000
+
+
+def _maybe_from_qiskit(obj):
+    """Convert qiskit objects to this framework's types when possible."""
+    mod = type(obj).__module__ or ""
+    if mod == "qiskit" or mod.startswith("qiskit."):
+        from qiskit_gym_tpu.quantum.qiskit_interop import from_qiskit
+
+        return from_qiskit(obj)
+    return obj
+
+
+class BaseSynthesisEnv:
+    cls_name: str
+    allowed_gates: List[str]
+    spec_cls = None
+    kind: Optional[str] = None  # 'linear' | 'clifford' | None
+
+    def __init__(self, **config):
+        self.config = dict(config)
+        self.spec = self.spec_cls(**config)
+        self._difficulty = int(config.get("difficulty", 1))
+        self._build_core()
+
+    def _build_core(self):
+        c = self.config
+        self.core = MatrixEnvCore(
+            num_qubits=c["num_qubits"],
+            gateset=c["gateset"],
+            kind=self.kind,
+            depth_slope=c.get("depth_slope", 2),
+            max_depth=c.get("max_depth", 128),
+            metrics_weights=c.get("metrics_weights"),
+            add_inverts=c.get("add_inverts", True),
+        )
+
+    # ------------------------------------------------------------ factories
+    @classmethod
+    def from_coupling_map(
+        cls,
+        coupling_map,
+        basis_gates: Optional[Tuple[str, ...]] = None,
+        difficulty: int = 1,
+        depth_slope: int = 2,
+        max_depth: int = 128,
+        metrics_weights: Optional[dict] = None,
+        add_inverts: bool = True,
+        add_perms: bool = True,
+    ):
+        if basis_gates is None:
+            basis_gates = tuple(cls.allowed_gates)
+        bad = [g for g in basis_gates if g not in cls.allowed_gates]
+        if bad:
+            raise ValueError(
+                f"Gates {bad} not allowed (allowed: {cls.allowed_gates})"
+            )
+
+        if hasattr(coupling_map, "get_edges"):  # qiskit CouplingMap
+            coupling_map = list(coupling_map.get_edges())
+        coupling_map = sorted((int(a), int(b)) for a, b in coupling_map)
+        num_qubits = max(max(edge) for edge in coupling_map) + 1
+
+        gateset: List[Tuple[str, Tuple[int, ...]]] = []
+        for name in basis_gates:
+            if name in ONE_Q_GATES:
+                gateset.extend((name, (q,)) for q in range(num_qubits))
+            elif name in TWO_Q_GATES:
+                gateset.extend((name, edge) for edge in coupling_map)
+            else:
+                raise ValueError(f"Gate {name} not supported")
+
+        config = {
+            "num_qubits": num_qubits,
+            "difficulty": difficulty,
+            "gateset": gateset,
+            "depth_slope": depth_slope,
+            "max_depth": max_depth,
+            "metrics_weights": metrics_weights,
+            "add_inverts": add_inverts,
+            "add_perms": add_perms,
+        }
+        return cls(**cls._filter_config(config))
+
+    @classmethod
+    def _filter_config(cls, config: dict) -> dict:
+        sig = inspect.signature(cls.spec_cls.__init__)
+        valid = set(sig.parameters) - {"self", "rng"}
+        return {k: v for k, v in config.items() if k in valid}
+
+    @classmethod
+    def from_json(cls, env_config: dict):
+        cfg = dict(env_config)
+        # JSON stores gateset entries as [name, [qubits]]
+        if "gateset" in cfg:
+            cfg["gateset"] = [(g[0], tuple(g[1])) for g in cfg["gateset"]]
+        return cls(**cls._filter_config(cfg))
+
+    def to_json(self) -> dict:
+        out = dict(self.config)
+        out["gateset"] = [[name, list(qs)] for name, qs in self.spec.gateset]
+        return out
+
+    # ------------------------------------------------------------ env proxy
+    @property
+    def difficulty(self) -> int:
+        return self._difficulty
+
+    @difficulty.setter
+    def difficulty(self, value: int):
+        self._difficulty = int(value)
+        self.spec.set_difficulty(value)
+
+    def obs_shape(self):
+        return list(self.core.obs_shape)
+
+    def num_actions(self) -> int:
+        return self.core.num_actions
+
+    def twists(self):
+        return self.spec.twists()
+
+    @property
+    def gateset(self):
+        return self.spec.gateset
+
+    # ----------------------------------------------------------- encodings
+    def get_state(self, input) -> List[int]:
+        raise NotImplementedError
+
+    def encoded_to_dense(self, state: Sequence[int]) -> np.ndarray:
+        """Encoded get_state() output -> dense array for core.set_state."""
+        raise NotImplementedError
+
+    def post_process_synthesis(self, synth_circuit: Circuit, _input) -> Circuit:
+        return synth_circuit
+
+    def build_circuit_from_solution(self, actions: List[int], input) -> Circuit:
+        gs = self.spec.gateset
+        qc = Circuit.from_gate_list(
+            [gs[a] for a in actions], num_qubits=self.config["num_qubits"]
+        )
+        return self.post_process_synthesis(qc, input)
+
+
+# --------------------------------------------------------------- Permutation
+
+
+class PermutationGym(BaseSynthesisEnv):
+    cls_name = "PermutationEnv"
+    allowed_gates = ["SWAP"]
+    spec_cls = PermutationSpecEnv
+
+    def _build_core(self):
+        c = self.config
+        self.core = PermutationEnvCore(
+            num_qubits=c["num_qubits"],
+            gateset=c["gateset"],
+            depth_slope=c.get("depth_slope", 2),
+            max_depth=c.get("max_depth", 128),
+            metrics_weights=c.get("metrics_weights"),
+            add_inverts=c.get("add_inverts", True),
+        )
+
+    def get_state(self, input) -> List[int]:
+        input = _maybe_from_qiskit(input)
+        if isinstance(input, Circuit):
+            input = permutation_pattern(linear_from_circuit(input))
+        # argsort = inverse permutation, so the synthesized circuit implements
+        # the target rather than its inverse
+        return np.argsort(np.asarray(input)).astype(int).tolist()
+
+    def encoded_to_dense(self, state) -> np.ndarray:
+        return np.asarray(state, dtype=np.int32)
+
+
+# ----------------------------------------------------------- LinearFunction
+
+
+class LinearFunctionGym(BaseSynthesisEnv):
+    cls_name = "LinearFunctionEnv"
+    allowed_gates = ["CX", "SWAP"]
+    spec_cls = LinearFunctionSpecEnv
+    kind = "linear"
+
+    def get_state(self, input) -> List[int]:
+        input = _maybe_from_qiskit(input)
+        if isinstance(input, Circuit):
+            input = Clifford(input)
+        lin = linear_from_clifford(Clifford(input).adjoint())
+        return lin.flatten().astype(int).tolist()
+
+    def encoded_to_dense(self, state) -> np.ndarray:
+        n = self.config["num_qubits"]
+        return (np.asarray(state).reshape(n, n) > 0).astype(np.uint8)
+
+
+# ----------------------------------------------------------------- Clifford
+
+
+def _solve_phases(clifford: Clifford) -> Circuit:
+    """Pauli layer correcting residual stab/destab phases (reference
+    envs/synthesis.py:161-176)."""
+    n = clifford.num_qubits
+    out = Circuit(n)
+    for q in range(n):
+        stab = bool(clifford.stab_phase[q])
+        destab = bool(clifford.destab_phase[q])
+        if destab and stab:
+            out.y(q)
+        elif stab:
+            out.x(q)
+        elif destab:
+            out.z(q)
+    return out
+
+
+class CliffordGym(BaseSynthesisEnv):
+    cls_name = "CliffordEnv"
+    allowed_gates = ONE_Q_GATES + TWO_Q_GATES
+    spec_cls = CliffordSpecEnv
+    kind = "clifford"
+
+    def get_state(self, input) -> List[int]:
+        input = _maybe_from_qiskit(input)
+        if isinstance(input, Circuit):
+            input = Clifford(input)
+        return (
+            input.adjoint().tableau[:, :-1].T.flatten().astype(int).tolist()
+        )
+
+    def encoded_to_dense(self, state) -> np.ndarray:
+        dim = 2 * self.config["num_qubits"]
+        return (np.asarray(state).reshape(dim, dim) > 0).astype(np.uint8)
+
+    def post_process_synthesis(self, synth_circuit: Circuit, input) -> Circuit:
+        """The env works on the phase-less tableau; repair the Pauli layer
+        (reference envs/synthesis.py:211-217)."""
+        input = _maybe_from_qiskit(input)
+        synth_circuit = synth_circuit.inverse()
+        if isinstance(input, Circuit):
+            input = Clifford(input)
+        dcliff = Clifford(synth_circuit).compose(input)
+        return _solve_phases(dcliff).compose(synth_circuit).inverse()
+
+
+# -------------------------------------------------------------- PauliNetwork
+
+
+class PauliGym(BaseSynthesisEnv):
+    cls_name = "PauliNetworkEnv"
+    allowed_gates = ONE_Q_GATES + TWO_Q_GATES
+    spec_cls = PauliSpecEnv
+
+    def __init__(self, **config):
+        super().__init__(**config)
+        self._rotation_params: List[float] = []
+        self._original_circuit: Optional[Circuit] = None
+
+    def _build_core(self):
+        # Batched Pauli kernels land with the AZ/Pauli milestone; until then
+        # the spec env drives this family (and raises on batched use).
+        self.core = None
+
+    def get_state(self, input, rotations: Optional[List[str]] = None) -> List[int]:
+        input = _maybe_from_qiskit(input)
+        if isinstance(input, tuple):
+            clifford, rotations = input
+            clifford = _maybe_from_qiskit(clifford)
+            clifford_for_state = Clifford(clifford)
+            self._rotation_params = []
+            self._original_circuit = None
+        elif isinstance(input, Circuit):
+            clifford, rotations, params = _parse_pauli_circuit(input)
+            clifford_for_state = clifford.adjoint()
+            self._rotation_params = params
+            self._original_circuit = input
+        elif isinstance(input, Clifford):
+            clifford_for_state = input.adjoint()
+            rotations = rotations or []
+            self._rotation_params = []
+            self._original_circuit = None
+        else:
+            raise ValueError(f"Unsupported input type: {type(input)}")
+
+        tableau = (
+            clifford_for_state.tableau[:, :-1].T.flatten().astype(int).tolist()
+        )
+        state = [len(rotations)]
+        state.extend(tableau)
+        for rot in rotations:
+            state.append(len(rot))
+            state.extend(ord(c) for c in rot)
+        return state
+
+    def build_circuit_from_solution(self, actions: List[int], input) -> Circuit:
+        full = decode_pauli_solution(actions)
+        num_qubits = self.config["num_qubits"]
+        qc = Circuit(num_qubits)
+        gs = self.spec.gateset
+        for step_type, a1, a2, a3 in full:
+            if step_type == "gate":
+                name, qubits = gs[a1]
+                # The Pauli network's cnot uses the transposed-index
+                # convention; reverse CX qubit order on reconstruction
+                # (reference envs/synthesis.py:487-493).
+                if name == "CX":
+                    qc.cx(qubits[1], qubits[0])
+                else:
+                    qc.append(name, qubits)
+            else:  # rx/ry/rz
+                qubit, rot_index, phase_mult = a1, a2, a3
+                if rot_index >= len(self._rotation_params):
+                    raise RuntimeError(
+                        "Too few rotation parameters stored for synthesis"
+                    )
+                angle = phase_mult * self._rotation_params[rot_index]
+                qc.append(step_type, (qubit,), (angle,))
+
+        original = input if isinstance(input, Circuit) else self._original_circuit
+        if original is not None:
+            correction = Clifford(
+                _just_clifford(qc.inverse().compose(original))
+            ).to_circuit()
+            qc = qc.compose(correction)
+        return qc
+
+
+def _parse_pauli_circuit(circuit: Circuit):
+    """Split a Clifford+rotations circuit into (Clifford, rotation labels,
+    rotation angles); each rotation's Pauli is evolved through the Clifford
+    accumulated so far (reference envs/synthesis.py:317-364)."""
+    from qiskit_gym_tpu.quantum import Pauli
+
+    n = circuit.num_qubits
+    clifford = Clifford.identity(n)
+    rotations: List[str] = []
+    params: List[float] = []
+    for name, qubits, gate_params in circuit:
+        if name in ("rx", "ry", "rz"):
+            p = Pauli.single(n, qubits[0], name[1].upper())
+            p = clifford.evolve_pauli(p)
+            rotations.append(p.adjoint().to_label())
+            params.extend(gate_params)
+        else:
+            clifford.append_gate(name, qubits)
+    return clifford, rotations, params
+
+
+def _just_clifford(circuit: Circuit) -> Circuit:
+    out = circuit.copy_empty()
+    for name, qubits, params in circuit:
+        if name not in ("rx", "ry", "rz"):
+            out.append(name, qubits, params)
+    return out
+
+
+SYNTH_ENVS = {
+    "CliffordEnv": CliffordGym,
+    "LinearFunctionEnv": LinearFunctionGym,
+    "PermutationEnv": PermutationGym,
+    "PauliNetworkEnv": PauliGym,
+}

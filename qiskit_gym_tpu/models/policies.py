@@ -1,0 +1,185 @@
+"""Policy/value networks.
+
+`BasicPolicy` reproduces the architecture of the reference checkpoints
+(examples/models/*.pt: flat obs -> Linear 'embeddings' -> ReLU Linear stack
+'common.i' -> heads 'action.i' / 'value.i'); `Conv1dPolicy` adds a 1-D conv
+frontend along a chosen obs axis. Layer names match the torch state-dict keys
+so the shipped checkpoints import directly (models/torch_io.py).
+
+Symmetry ("twists") support: `PolicyBundle.apply` optionally group-averages
+over coupling-map automorphisms — each (obs_perm, act_perm) pair relabels the
+flattened observation before the net and un-relabels the action logits after,
+and the results are averaged. This makes the policy exactly equivariant under
+the coupling graph's automorphism group (the reference feeds the same perms
+to its torch policies; reference rl/synthesis.py:95-107).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BasicPolicy(nn.Module):
+    num_actions: int
+    embedding_size: int = 512
+    common_layers: Tuple[int, ...] = (256,)
+    policy_layers: Tuple[int, ...] = ()
+    value_layers: Tuple[int, ...] = ()
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray):
+        x = obs.reshape(obs.shape[0], -1)
+        x = nn.Dense(self.embedding_size, name="embeddings")(x)
+        x = nn.relu(x)
+        for i, width in enumerate(self.common_layers):
+            x = nn.Dense(width, name=f"common_{i}")(x)
+            x = nn.relu(x)
+        p = x
+        for i, width in enumerate(self.policy_layers):
+            p = nn.Dense(width, name=f"policy_{i}")(p)
+            p = nn.relu(p)
+        logits = nn.Dense(self.num_actions, name="action_out")(p)
+        v = x
+        for i, width in enumerate(self.value_layers):
+            v = nn.Dense(width, name=f"value_{i}")(v)
+            v = nn.relu(v)
+        value = nn.Dense(1, name="value_out")(v)
+        return logits, value[:, 0]
+
+
+class Conv1dPolicy(nn.Module):
+    """Conv1d frontend along obs axis `conv_dim`, then the MLP torso."""
+
+    num_actions: int
+    conv_dim: int = 1
+    embedding_size: int = 1260
+    common_layers: Tuple[int, ...] = (256,)
+    policy_layers: Tuple[int, ...] = ()
+    value_layers: Tuple[int, ...] = ()
+    conv_features: int = 32
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray):
+        # obs [B, d0, d1]; convolve along axis conv_dim+1, channels = other axis
+        x = obs
+        if self.conv_dim == 0:
+            x = jnp.swapaxes(x, 1, 2)
+        # now [B, L, C]
+        x = nn.Conv(self.conv_features, (self.kernel_size,), name="conv")(x)
+        x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(self.embedding_size, name="embeddings")(x)
+        x = nn.relu(x)
+        for i, width in enumerate(self.common_layers):
+            x = nn.Dense(width, name=f"common_{i}")(x)
+            x = nn.relu(x)
+        p = x
+        for i, width in enumerate(self.policy_layers):
+            p = nn.Dense(width, name=f"policy_{i}")(p)
+            p = nn.relu(p)
+        logits = nn.Dense(self.num_actions, name="action_out")(p)
+        v = x
+        for i, width in enumerate(self.value_layers):
+            v = nn.Dense(width, name=f"value_{i}")(v)
+            v = nn.relu(v)
+        value = nn.Dense(1, name="value_out")(v)
+        return logits, value[:, 0]
+
+
+class PolicyBundle:
+    """A policy module + its obs/action symmetry perms, with a pure apply.
+
+    apply(params, obs [B, *obs_shape]) -> (logits [B, A], value [B])
+    """
+
+    def __init__(
+        self,
+        module: nn.Module,
+        obs_shape: Tuple[int, ...],
+        num_actions: int,
+        obs_perms: Optional[Sequence[Sequence[int]]] = None,
+        act_perms: Optional[Sequence[Sequence[int]]] = None,
+        symmetrize: bool = True,
+    ):
+        self.module = module
+        self.obs_shape = tuple(obs_shape)
+        self.num_actions = int(num_actions)
+        obs_perms = [list(p) for p in (obs_perms or [])]
+        act_perms = [list(p) for p in (act_perms or [])]
+        assert len(obs_perms) == len(act_perms)
+        # drop the identity-only case and precompute inverse perms:
+        # relabeled_obs[:, p[i]] = obs[:, i]  <=>  relabeled = obs[:, inv_p]
+        self.num_perms = len(obs_perms)
+        if symmetrize and self.num_perms > 1:
+            inv_obs = np.stack([np.argsort(np.asarray(p)) for p in obs_perms])
+            self.inv_obs = jnp.asarray(inv_obs)                  # [P, D]
+            self.act = jnp.asarray(np.stack(act_perms))          # [P, A]
+        else:
+            self.inv_obs = None
+            self.act = None
+
+    def init(self, key) -> dict:
+        dummy = jnp.zeros((1,) + self.obs_shape, jnp.float32)
+        return self.module.init(key, dummy)
+
+    def apply(self, params, obs: jnp.ndarray):
+        if not jnp.issubdtype(obs.dtype, jnp.floating):
+            obs = obs.astype(jnp.float32)  # trajectories store dense bits as uint8
+        if self.inv_obs is None:
+            return self.module.apply(params, obs)
+        B = obs.shape[0]
+        flat = obs.reshape(B, -1)
+
+        def one(inv_o, act_p):
+            relabeled = flat[:, inv_o].reshape((B,) + self.obs_shape)
+            logits, value = self.module.apply(params, relabeled)
+            # Relabeled-frame action act_perm[a] corresponds to original-frame
+            # action a (step(relabel(s), act_perm[a]) == relabel(step(s, a))),
+            # so the original-frame logit for a is logits[act_perm[a]].
+            return logits[:, act_p], value
+
+        logits_all, value_all = jax.vmap(one)(self.inv_obs, self.act)
+        return logits_all.mean(axis=0), value_all.mean(axis=0)
+
+
+def make_policy(
+    policy_cls: str,
+    obs_shape,
+    num_actions: int,
+    model_config: dict,
+    obs_perms=None,
+    act_perms=None,
+) -> PolicyBundle:
+    """Instantiate from a config-style class path ('...BasicPolicy' etc.)."""
+    name = policy_cls.split(".")[-1]
+    cfg = dict(model_config)
+    cfg.pop("policy_cls", None)
+    common = tuple(cfg.pop("common_layers", (256,)))
+    policy_l = tuple(cfg.pop("policy_layers", ()))
+    value_l = tuple(cfg.pop("value_layers", ()))
+    if name == "BasicPolicy":
+        module = BasicPolicy(
+            num_actions=num_actions,
+            embedding_size=int(cfg.pop("embedding_size", 512)),
+            common_layers=common,
+            policy_layers=policy_l,
+            value_layers=value_l,
+        )
+    elif name == "Conv1dPolicy":
+        module = Conv1dPolicy(
+            num_actions=num_actions,
+            conv_dim=int(cfg.pop("conv_dim", 1)),
+            embedding_size=int(cfg.pop("embedding_size", 1260)),
+            common_layers=common,
+            policy_layers=policy_l,
+            value_layers=value_l,
+        )
+    else:
+        raise ValueError(f"Unknown policy class {policy_cls!r}")
+    return PolicyBundle(module, tuple(obs_shape), num_actions, obs_perms, act_perms)

@@ -1,0 +1,213 @@
+"""PPO, fully on device: rollout -> GAE -> clipped update in one jit per
+iteration, with eval presets and the success-gated difficulty curriculum.
+
+Semantics follow the reference config schema (reference rl/configs.py:
+202-240 — GAE(lambda, gamma), clipped objective, value/entropy coefs,
+optional advantage normalization, Adam; curriculum advances difficulty by 1
+when evals[diff_metric] >= diff_threshold, up to diff_max; reference
+configs.py:108-117). The rollout batch is the whole num_episodes at once —
+vmapped envs replace the reference's 32 CPU actor threads.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from qiskit_gym_tpu.models.policies import PolicyBundle
+
+from .configs import EvalConfig, PPOConfig
+from .rollout import Trajectory, collect, gae
+from .solve import policy_solve
+
+
+class PPO:
+    def __init__(self, env, policy: PolicyBundle, config: PPOConfig,
+                 params: Optional[dict] = None, seed: int = 0):
+        self.env = env                      # user-facing gym (has .core, .difficulty)
+        self.core = env.core
+        self.policy = policy
+        self.config = config
+        self.key = jax.random.key(seed)
+        self.params = params if params is not None else policy.init(
+            jax.random.key(seed + 1)
+        )
+        self.tx = optax.adam(config.lr)
+        self.opt_state = self.tx.init(self.params)
+        self.run_path: Optional[str] = None
+        self.tb_writer = None
+        self.iteration = 0
+        self._train_cache: Dict[int, callable] = {}
+        self._eval_cache: Dict[tuple, callable] = {}
+
+    # ------------------------------------------------------------ internals
+    def _horizon(self, difficulty: int) -> int:
+        return max(min(self.core.depth_slope * difficulty, self.core.max_depth), 1)
+
+    def _loss(self, params, traj: Trajectory, adv, returns):
+        cfg = self.config
+        T, B = traj.action.shape
+        obs = traj.obs.reshape((T * B,) + traj.obs.shape[2:])
+        logits, value = self.policy.apply(params, obs)
+        logits = logits.reshape(T, B, -1)
+        value = value.reshape(T, B)
+        logp_all = jax.nn.log_softmax(logits, axis=-1)
+        logp = jnp.take_along_axis(logp_all, traj.action[..., None], axis=-1)[..., 0]
+
+        valid = traj.valid.astype(jnp.float32)
+        count = jnp.maximum(valid.sum(), 1.0)
+
+        if cfg.normalize_advantage:
+            mean = (adv * valid).sum() / count
+            var = (((adv - mean) ** 2) * valid).sum() / count
+            adv = (adv - mean) * jax.lax.rsqrt(var + 1e-8)
+
+        ratio = jnp.exp(logp - traj.logp)
+        clipped = jnp.clip(ratio, 1.0 - cfg.clip_ratio, 1.0 + cfg.clip_ratio)
+        pg = -jnp.minimum(ratio * adv, clipped * adv)
+        pg_loss = (pg * valid).sum() / count
+
+        v_loss = (((value - returns) ** 2) * valid).sum() / count
+
+        ent = -(jnp.exp(logp_all) * logp_all).sum(-1)
+        ent_bonus = (ent * valid).sum() / count
+
+        loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent_bonus
+        return loss, {
+            "loss": loss, "pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent_bonus,
+        }
+
+    def _make_train_step(self, T: int, B: int):
+        cfg = self.config
+
+        def train_step(params, opt_state, key, difficulty):
+            k_reset, k_roll = jax.random.split(key)
+            state = self.core.reset(k_reset, B, difficulty)
+            final_state, traj = collect(
+                self.core, self.policy.apply, params, state, k_roll, T
+            )
+            adv, returns = gae(traj, cfg.gamma, cfg.gae_lambda)
+
+            def epoch(carry, _):
+                params, opt_state = carry
+                (loss, aux), grads = jax.value_and_grad(
+                    self._loss, has_aux=True
+                )(params, traj, adv, returns)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            (params, opt_state), auxs = jax.lax.scan(
+                epoch, (params, opt_state), None, length=cfg.num_epochs
+            )
+            metrics = {k: v[-1] for k, v in auxs.items()}
+            metrics["success_rate"] = final_state.success.mean()
+            metrics["mean_episode_reward"] = (
+                (traj.reward * traj.valid).sum(0).mean()
+            )
+            metrics["steps_collected"] = traj.valid.sum()
+            return params, opt_state, metrics
+
+        return jax.jit(train_step)
+
+    def _make_eval(self, T: int, ev: EvalConfig):
+        E, S = ev.num_episodes, ev.num_searches
+        deterministic = ev.deterministic
+
+        def eval_fn(params, key, difficulty):
+            k_reset, k_roll = jax.random.split(key)
+            state = self.core.reset(k_reset, E, difficulty)
+            if S > 1:
+                state = jax.tree.map(lambda x: jnp.repeat(x, S, axis=0), state)
+            final_state, _ = collect(
+                self.core, self.policy.apply, params, state, k_roll, T,
+                deterministic=deterministic,
+            )
+            success = final_state.success.reshape(E, S).any(axis=1)
+            return success.astype(jnp.float32).mean()
+
+        return jax.jit(eval_fn)
+
+    # ---------------------------------------------------------------- train
+    def run_evals(self, difficulty: int) -> Dict[str, float]:
+        T = self._horizon(difficulty)
+        out = {}
+        for name, ev in self.config.evals.items():
+            if ev.num_mcts_searches > 0:
+                continue  # MCTS evals are handled by the AZ algorithm
+            ck = (name, T)
+            if ck not in self._eval_cache:
+                self._eval_cache[ck] = self._make_eval(T, ev)
+            self.key, sub = jax.random.split(self.key)
+            out[name] = float(self._eval_cache[ck](self.params, sub,
+                                                   jnp.int32(difficulty)))
+        return out
+
+    def learn(self, num_iterations: int = int(1e10)) -> None:
+        cfg = self.config
+        B = cfg.num_episodes
+        difficulty = int(getattr(self.env, "difficulty", 1))
+        for _ in range(num_iterations):
+            it_start = time.time()
+            T = self._horizon(difficulty)
+            if (T, B) not in self._train_cache:
+                self._train_cache[(T, B)] = self._make_train_step(T, B)
+            self.key, sub = jax.random.split(self.key)
+            self.params, self.opt_state, metrics = self._train_cache[(T, B)](
+                self.params, self.opt_state, sub, jnp.int32(difficulty)
+            )
+            metrics = {k: float(v) for k, v in metrics.items()}
+
+            evals = self.run_evals(difficulty)
+            metrics.update({f"eval/{k}": v for k, v in evals.items()})
+            metrics["difficulty"] = difficulty
+            metrics["iter_seconds"] = time.time() - it_start
+
+            # curriculum
+            gate = evals.get(cfg.diff_metric)
+            if gate is not None and gate >= cfg.diff_threshold:
+                difficulty = min(difficulty + 1, cfg.diff_max)
+                self.env.difficulty = difficulty
+
+            self.iteration += 1
+            if self.tb_writer is not None and self.iteration % cfg.log_freq == 0:
+                for k, v in metrics.items():
+                    self.tb_writer.add_scalar(k, v, self.iteration)
+            if self.run_path is not None and (
+                self.iteration % cfg.checkpoint_freq == 0
+            ):
+                self._checkpoint()
+
+    def _checkpoint(self):
+        import os
+
+        from qiskit_gym_tpu.models.torch_io import save_torch_checkpoint
+
+        os.makedirs(self.run_path, exist_ok=True)
+        save_torch_checkpoint(
+            self.params, os.path.join(self.run_path, f"checkpoint_{self.iteration}.pt")
+        )
+
+    # ---------------------------------------------------------------- solve
+    def solve(
+        self,
+        state,
+        deterministic: bool = False,
+        num_searches: int = 100,
+        num_mcts_searches: int = 0,
+        C: float = 2 ** 0.5,
+        max_expand_depth: int = 1,
+    ):
+        """Policy-guided search from an encoded target state; returns the best
+        solution's action list, or None. (num_mcts_searches > 0 upgrades to
+        batched MCTS once the AZ engine is wired here.)"""
+        return policy_solve(
+            self.env, self.policy, self.params, state,
+            deterministic=deterministic, num_searches=num_searches,
+        )

@@ -1,0 +1,106 @@
+"""On-device batched rollout collection + GAE.
+
+Episodes are depth-budget aligned (every lane resets to the same difficulty,
+so the whole batch shares one episode horizon T = min(depth_slope * difficulty,
+max_depth)); the collection is a single lax.scan of T fused
+observe->policy->sample->step steps over B device-resident envs — zero host
+round-trips. Lanes that finish early are frozen (transitions masked out of
+the loss). This replaces the reference's 32-thread CPU collectors
+(rayon; reference configs.py:134 num_cores) with vmapped device parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Trajectory(NamedTuple):
+    obs: jnp.ndarray        # [T, B, *obs_shape]
+    action: jnp.ndarray     # [T, B] int32
+    logp: jnp.ndarray       # [T, B]
+    value: jnp.ndarray      # [T, B]
+    reward: jnp.ndarray     # [T, B]
+    valid: jnp.ndarray      # [T, B] bool: lane was live when this step ran
+    done: jnp.ndarray       # [T, B] bool: episode ended at/after this step
+    inverted: jnp.ndarray   # [T, B] bool: env inversion flag when acting
+    success: jnp.ndarray    # [B]  episode success per lane
+
+
+def sample_action(key, logits, masks, deterministic: bool):
+    """Masked categorical sample / argmax. masks bool [B, A]."""
+    neg = jnp.finfo(logits.dtype).min
+    masked = jnp.where(masks, logits, neg)
+    if deterministic:
+        return jnp.argmax(masked, axis=-1)
+    return jax.random.categorical(key, masked, axis=-1)
+
+
+def collect(core, policy_apply, params, state, key, T: int,
+            deterministic: bool = False):
+    """Roll out T steps from `state` (already reset). Returns (final_state,
+    Trajectory)."""
+
+    def step_fn(carry, _):
+        env_state, k = carry
+        k, k_act, k_step = jax.random.split(k, 3)
+        obs = core.dense(env_state)  # uint8 — 4x cheaper to store than f32
+        logits, value = policy_apply(params, obs)
+        masks = core.masks(env_state)
+        action = sample_action(k_act, logits, masks, deterministic)
+        logp_all = jax.nn.log_softmax(
+            jnp.where(masks, logits, jnp.finfo(logits.dtype).min), axis=-1
+        )
+        logp = jnp.take_along_axis(logp_all, action[:, None], axis=-1)[:, 0]
+
+        live = ~core.is_final(env_state)
+        inverted = env_state.inverted
+        stepped = core.step(env_state, action, k_step)
+        new_state = jax.tree.map(
+            lambda new, old: jnp.where(
+                live.reshape(live.shape + (1,) * (new.ndim - 1)), new, old
+            ),
+            stepped, env_state,
+        )
+        reward = jnp.where(live, new_state.reward, 0.0)
+        done = core.is_final(new_state)
+        tr = Trajectory(
+            obs=obs, action=action, logp=logp, value=value, reward=reward,
+            valid=live, done=done, inverted=inverted,
+            success=jnp.zeros_like(live),  # filled after scan
+        )
+        return (new_state, k), tr
+
+    (final_state, _), traj = jax.lax.scan(step_fn, (state, key), None, length=T)
+    traj = traj._replace(success=final_state.success)
+    return final_state, traj
+
+
+def gae(traj: Trajectory, gamma: float, lam: float):
+    """Generalized advantage estimation over the aligned batch.
+
+    Episodes are finite-horizon (the depth budget is part of the MDP — the
+    reference treats budget exhaustion as terminal), so the value after a
+    `done` step bootstraps to 0, as does the horizon end.
+    """
+    T = traj.reward.shape[0]
+
+    def back(carry, xs):
+        adv_next, v_next = carry
+        reward, value, done, valid = xs
+        nonterm = (~done).astype(jnp.float32)
+        delta = reward + gamma * v_next * nonterm - value
+        adv = delta + gamma * lam * nonterm * adv_next
+        adv = jnp.where(valid, adv, 0.0)
+        return (adv, jnp.where(valid, value, 0.0)), adv
+
+    (_, _), advs = jax.lax.scan(
+        back,
+        (jnp.zeros_like(traj.value[0]), jnp.zeros_like(traj.value[0])),
+        (traj.reward, traj.value, traj.done, traj.valid),
+        reverse=True,
+    )
+    returns = advs + jnp.where(traj.valid, traj.value, 0.0)
+    return advs, returns

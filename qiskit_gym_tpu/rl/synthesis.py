@@ -1,0 +1,159 @@
+"""RLSynthesis — the user-facing orchestrator.
+
+API parity with the reference (reference rl/synthesis.py:34-138):
+construct from (env, rl_config, model_config[, model_path]), `.learn()`,
+`.synth()`, `.save()`, `.from_config_json()`; JSON schema compatible with the
+reference's examples/models/*.json (class-path strings are resolved by their
+last segment, so configs written by the reference load unchanged, including
+its torch .pt checkpoints).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Union
+
+from qiskit_gym_tpu.envs.synthesis import SYNTH_ENVS, BaseSynthesisEnv
+from qiskit_gym_tpu.models import make_policy
+from qiskit_gym_tpu.models.torch_io import load_torch_checkpoint, save_torch_checkpoint
+from qiskit_gym_tpu.quantum import Circuit
+
+from .configs import ALGORITHMS, POLICIES, AlphaZeroConfig, PPOConfig
+
+
+def _algorithm_class(path: str):
+    name = path.split(".")[-1]
+    from .ppo import PPO
+
+    if name == "PPO":
+        return PPO
+    if name == "AZ":
+        from .az import AZ
+
+        return AZ
+    raise ValueError(f"Unknown algorithm class {path!r}")
+
+
+class RLSynthesis:
+    def __init__(
+        self,
+        env: BaseSynthesisEnv,
+        rl_config: Union[AlphaZeroConfig, PPOConfig],
+        model_config,
+        model_path: Optional[str] = None,
+        seed: int = 0,
+    ):
+        self.env = env
+        self.env_config = env.to_json()
+        self.rl_config = rl_config
+        self.model_config = model_config
+        self.seed = seed
+        self.algorithm = self._init_algorithm(model_path)
+
+    def _init_algorithm(self, model_path: Optional[str]):
+        obs_perms, act_perms = self.env.twists()
+        policy = make_policy(
+            self.model_config.policy_cls,
+            self.env.obs_shape(),
+            self.env.num_actions(),
+            self.model_config.to_json(),
+            obs_perms=obs_perms,
+            act_perms=act_perms,
+        )
+        params = load_torch_checkpoint(model_path) if model_path else None
+        algorithm_cls = _algorithm_class(self.rl_config.algorithm_cls)
+        return algorithm_cls(self.env, policy, self.rl_config, params=params,
+                             seed=self.seed)
+
+    # -------------------------------------------------------------- persist
+    @classmethod
+    def from_config_json(cls, config_path: str, model_path: Optional[str] = None):
+        with open(config_path) as f:
+            full = json.load(f)
+
+        env_cls = full["env_cls"].split(".")[-1]
+        if env_cls not in SYNTH_ENVS:
+            raise ValueError(
+                f"Synth env class {full['env_cls']} not supported; "
+                f"expected one of {list(SYNTH_ENVS)}"
+            )
+        env = SYNTH_ENVS[env_cls].from_json(full["env"])
+
+        algo_cls = full["algorithm_cls"].split(".")[-1]
+        if algo_cls not in ALGORITHMS:
+            raise ValueError(
+                f"Algorithm class {full['algorithm_cls']} not supported; "
+                f"expected one of {list(ALGORITHMS)}"
+            )
+        rl_config = ALGORITHMS[algo_cls].from_json(full["algorithm"])
+        rl_config = rl_config.with_updates(algorithm_cls=full["algorithm_cls"])
+
+        pol_cls = full["policy_cls"].split(".")[-1]
+        if pol_cls not in POLICIES:
+            raise ValueError(
+                f"Policy class {full['policy_cls']} not supported; "
+                f"expected one of {list(POLICIES)}"
+            )
+        model_config = POLICIES[pol_cls].from_json(full["policy"])
+        model_config = model_config.with_updates(policy_cls=full["policy_cls"])
+
+        return cls(env, rl_config, model_config, model_path)
+
+    def to_json(self) -> dict:
+        return {
+            "env_cls": f"qiskit_gym_tpu.envs.synthesis.{self.env.cls_name}",
+            "env": self.env_config,
+            "policy_cls": self.model_config.policy_cls,
+            "policy": self.model_config.to_json(),
+            "algorithm_cls": self.rl_config.algorithm_cls,
+            "algorithm": self.rl_config.to_json(),
+        }
+
+    def save(self, config_path: str, model_path: Optional[str] = None):
+        with open(config_path, "w") as f:
+            json.dump(self.to_json(), f, indent=2)
+        if model_path is not None:
+            save_torch_checkpoint(self.algorithm.params, model_path)
+
+    # ----------------------------------------------------------------- use
+    def synth(
+        self,
+        input,
+        deterministic: bool = False,
+        num_searches: int = 100,
+        num_mcts_searches: int = 0,
+        C: float = 2 ** 0.5,
+        max_expand_depth: int = 1,
+    ) -> Optional[Circuit]:
+        state = self.env.get_state(input)
+        actions = self.algorithm.solve(
+            state, deterministic, num_searches, num_mcts_searches, C,
+            max_expand_depth,
+        )
+        if actions is not None:
+            return self.env.build_circuit_from_solution(actions, input)
+        return None
+
+    def learn(self, initial_difficulty: int = 1, num_iterations: int = int(1e10),
+              tb_path: Optional[str] = None):
+        if tb_path is not None:
+            self.algorithm.run_path = tb_path
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.algorithm.tb_writer = SummaryWriter(tb_path)
+            except Exception:
+                self.algorithm.tb_writer = None
+        self.env.difficulty = initial_difficulty
+        try:
+            self.algorithm.learn(num_iterations)
+        except KeyboardInterrupt:
+            return
+
+    @property
+    def params(self):
+        return self.algorithm.params
+
+
+def gate_list_to_circuit(gate_list, num_qubits: Optional[int] = None) -> Circuit:
+    return Circuit.from_gate_list(gate_list, num_qubits)

@@ -1,0 +1,179 @@
+"""End-to-end API tests: gyms, configs, RLSynthesis train/synth/save/load."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from qiskit_gym_tpu.envs import (
+    CliffordGym,
+    LinearFunctionGym,
+    PermutationGym,
+    gym_adapter,
+)
+from qiskit_gym_tpu.quantum import (
+    Circuit,
+    Clifford,
+    circuit_unitary,
+    allclose_up_to_global_phase,
+    linear_from_circuit,
+    permutation_pattern,
+)
+from qiskit_gym_tpu.rl import (
+    BasicPolicyConfig,
+    EvalConfig,
+    PPOConfig,
+    RLSynthesis,
+)
+
+GRID_2x2 = [(0, 1), (0, 2), (1, 3), (2, 3)]
+LINE_3 = [(0, 1), (1, 2)]
+
+
+def small_ppo(num_episodes=32, **kw):
+    return PPOConfig(
+        num_episodes=num_episodes,
+        num_epochs=2,
+        evals={
+            "ppo_deterministic": EvalConfig(num_episodes=16),
+            "ppo_10": EvalConfig(num_episodes=8, deterministic=False,
+                                 num_searches=4),
+        },
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------- gyms
+
+
+def test_from_coupling_map_gateset_expansion():
+    env = CliffordGym.from_coupling_map(LINE_3, basis_gates=("H", "S", "CX"))
+    names = [g[0] for g in env.gateset]
+    assert names.count("H") == 3 and names.count("S") == 3
+    assert names.count("CX") == 2  # one per (sorted) edge
+    assert env.num_actions() == 8
+    assert env.obs_shape() == [6, 6]
+
+
+def test_from_coupling_map_rejects_bad_gates():
+    with pytest.raises(ValueError):
+        PermutationGym.from_coupling_map(LINE_3, basis_gates=("CX",))
+
+
+def test_env_json_roundtrip():
+    env = LinearFunctionGym.from_coupling_map(GRID_2x2)
+    blob = json.loads(json.dumps(env.to_json()))
+    env2 = LinearFunctionGym.from_json(blob)
+    assert env2.gateset == env.gateset
+    assert env2.config["max_depth"] == env.config["max_depth"]
+
+
+def test_permutation_get_state_is_inverse():
+    env = PermutationGym.from_coupling_map(LINE_3)
+    pattern = [2, 0, 1]
+    enc = env.get_state(pattern)
+    assert enc == np.argsort(pattern).tolist()
+    qc = Circuit(3).swap(0, 1).swap(1, 2)
+    enc2 = env.get_state(qc)
+    assert sorted(enc2) == [0, 1, 2]
+
+
+def test_gymnasium_adapter():
+    env = PermutationGym.from_coupling_map(LINE_3, difficulty=2)
+    genv = gym_adapter(env)
+    obs, info = genv.reset(seed=3)
+    assert obs.shape == (3, 3) and set(np.unique(obs)) <= {0, 1}
+    steps = 0
+    done = obs is None
+    while not genv._spec_env.is_final() and steps < 10:
+        obs, reward, term, trunc, info = genv.step(genv.action_space.sample())
+        steps += 1
+    assert steps <= 4  # depth budget = 2*2
+
+
+# -------------------------------------------------------------------- configs
+
+
+def test_ppo_config_json_matches_reference_schema():
+    cfg = PPOConfig()
+    j = cfg.to_json()
+    assert j["collecting"]["lambda"] == 0.995
+    assert set(j) == {"collecting", "training", "learning", "optimizer",
+                      "evals", "logging"}
+    rt = PPOConfig.from_json(j)
+    assert rt.gae_lambda == cfg.gae_lambda
+    assert rt.evals.keys() == cfg.evals.keys()
+
+
+def test_load_reference_config_json():
+    """Configs shipped with the reference load unchanged."""
+    path = "/root/reference/examples/models/perm_square_3x3.json"
+    if not os.path.exists(path):
+        pytest.skip("reference artifacts unavailable")
+    rls = RLSynthesis.from_config_json(path)
+    assert rls.env.cls_name == "PermutationEnv"
+    assert rls.env.num_actions() == 12
+    assert rls.env.obs_shape() == [9, 9]
+
+
+def test_load_reference_torch_checkpoint():
+    path = "/root/reference/examples/models/perm_square_3x3"
+    if not os.path.exists(path + ".json"):
+        pytest.skip("reference artifacts unavailable")
+    rls = RLSynthesis.from_config_json(path + ".json", path + ".pt")
+    p = rls.algorithm.params["params"]
+    assert p["embeddings"]["kernel"].shape == (81, 512)
+    assert p["action_out"]["kernel"].shape == (256, 12)
+
+
+# ----------------------------------------------------------- train and synth
+
+
+def test_rlsynthesis_learn_and_synth_permutation(tmp_path):
+    env = PermutationGym.from_coupling_map(GRID_2x2, max_depth=32)
+    rls = RLSynthesis(env, small_ppo(), BasicPolicyConfig(embedding_size=64,
+                                                          common_layers=[32]))
+    rls.learn(initial_difficulty=1, num_iterations=3)
+
+    # synthesize a 1-swap pattern; must round-trip
+    pattern = [1, 0, 2, 3]
+    out = rls.synth(pattern, num_searches=64)
+    assert out is not None, "failed to synthesize a single-swap permutation"
+    got = permutation_pattern(linear_from_circuit(out))
+    assert got.tolist() == pattern
+
+    # save / load roundtrip
+    cfg_path = str(tmp_path / "cfg.json")
+    mdl_path = str(tmp_path / "mdl.pt")
+    rls.save(cfg_path, mdl_path)
+    rls2 = RLSynthesis.from_config_json(cfg_path, mdl_path)
+    out2 = rls2.synth(pattern, num_searches=64)
+    assert out2 is not None
+    assert permutation_pattern(linear_from_circuit(out2)).tolist() == pattern
+
+
+def test_rlsynthesis_synth_clifford_phase_exact():
+    env = CliffordGym.from_coupling_map(LINE_3, basis_gates=("H", "S", "CX"),
+                                        max_depth=24)
+    rls = RLSynthesis(env, small_ppo(16), BasicPolicyConfig(embedding_size=64,
+                                                            common_layers=[32]))
+    # an untrained policy with enough random searches still solves tiny targets
+    target = Circuit(3).h(0).cx(0, 1).s(1)
+    out = rls.synth(target, num_searches=512)
+    if out is None:
+        pytest.skip("search did not find a tiny-depth solution (stochastic)")
+    # phase repair must make the circuit EXACTLY equal (up to global phase)
+    assert allclose_up_to_global_phase(circuit_unitary(out),
+                                       circuit_unitary(target))
+
+
+def test_rlsynthesis_synth_linear_function():
+    env = LinearFunctionGym.from_coupling_map(LINE_3, max_depth=24)
+    rls = RLSynthesis(env, small_ppo(16), BasicPolicyConfig(embedding_size=64,
+                                                            common_layers=[32]))
+    target = Circuit(3).cx(0, 1).cx(1, 2)
+    out = rls.synth(target, num_searches=512)
+    if out is None:
+        pytest.skip("search did not find a solution (stochastic)")
+    assert np.array_equal(linear_from_circuit(out), linear_from_circuit(target))
