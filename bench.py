@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark: batched env steps/sec on one chip.
+
+Headline config: CliffordGym on the 27-qubit heavy-hex coupling map (the
+hardest matrix env family; BASELINE.json config #3/#5 scale), full training
+semantics — metrics/reward pipeline + 50% random state inversion — stepping
+B device-resident envs inside one jitted scan with on-device action sampling.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 1e7 (the BASELINE.json north-star steps/sec target).
+Per-family numbers go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from qiskit_gym_tpu.envs import CliffordGym, LinearFunctionGym, PermutationGym
+
+HEAVY_HEX_27 = [
+    (0, 1), (1, 2), (1, 4), (2, 3), (3, 5), (4, 7), (5, 8), (6, 7), (7, 10),
+    (8, 9), (8, 11), (10, 12), (11, 14), (12, 13), (12, 15), (13, 14),
+    (14, 16), (15, 18), (16, 19), (17, 18), (18, 21), (19, 20), (19, 22),
+    (21, 23), (22, 25), (23, 24), (24, 25), (25, 26),
+]
+
+NORTH_STAR = 1e7  # steps/sec (BASELINE.json)
+
+
+def bench_core(core, B: int, K: int, repeats: int = 3) -> float:
+    """Steps/sec for K scanned random-action steps over B envs (full training
+    semantics: metrics/reward pipeline + random inversions). Randomness is
+    pregenerated in bulk — per-step threefry chains would dominate."""
+
+    def run(state, key):
+        k_a, k_f, k_s = jax.random.split(key, 3)
+        actions = jax.random.randint(k_a, (K, B), 0, core.num_actions)
+        flips = jax.random.bernoulli(k_f, 0.5, (K, B))
+        keys = jax.random.split(k_s, K)
+
+        def body(s, xs):
+            act, flip, kk = xs
+            s = core.step(s, act, kk,
+                          invert_override=flip if core.add_inverts else None)
+            return s, None
+
+        state, _ = jax.lax.scan(body, state, (actions, flips, keys))
+        return state
+
+    run_j = jax.jit(run)
+    state = jax.jit(core.reset, static_argnums=(1, 2))(jax.random.key(0), B, 8)
+    out = run_j(state, jax.random.key(1))
+    jax.block_until_ready(out)
+    times = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        out = run_j(state, jax.random.key(2 + r))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return B * K / min(times)
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+    results = {}
+
+    env = CliffordGym.from_coupling_map(HEAVY_HEX_27, max_depth=128)
+    results["clifford_27q_heavy_hex"] = bench_core(env.core, B, K)
+
+    env = LinearFunctionGym.from_coupling_map(HEAVY_HEX_27, max_depth=128)
+    results["linear_function_27q"] = bench_core(env.core, B, K)
+
+    env = PermutationGym.from_coupling_map(HEAVY_HEX_27, max_depth=128)
+    results["permutation_27q"] = bench_core(env.core, B, K)
+
+    for name, v in results.items():
+        print(f"  {name}: {v / 1e6:.2f}M steps/s", file=sys.stderr)
+
+    headline = results["clifford_27q_heavy_hex"]
+    print(json.dumps({
+        "metric": "clifford_27q_heavy_hex batched env steps/sec/chip",
+        "value": round(headline, 1),
+        "unit": "steps/sec",
+        "vs_baseline": round(headline / NORTH_STAR, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

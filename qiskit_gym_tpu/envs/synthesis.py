@@ -88,6 +88,7 @@ class BaseSynthesisEnv:
         metrics_weights: Optional[dict] = None,
         add_inverts: bool = True,
         add_perms: bool = True,
+        **extra,
     ):
         if basis_gates is None:
             basis_gates = tuple(cls.allowed_gates)
@@ -121,6 +122,7 @@ class BaseSynthesisEnv:
             "add_inverts": add_inverts,
             "add_perms": add_perms,
         }
+        config.update(extra)  # family-specific knobs (e.g. max_rotations)
         return cls(**cls._filter_config(config))
 
     @classmethod
@@ -172,6 +174,19 @@ class BaseSynthesisEnv:
     def encoded_to_dense(self, state: Sequence[int]) -> np.ndarray:
         """Encoded get_state() output -> dense array for core.set_state."""
         raise NotImplementedError
+
+    def make_solve_state(self, state_encoded, num_searches: int):
+        """Device state with the encoded target tiled over num_searches lanes."""
+        single = self.encoded_to_dense(state_encoded)
+        return self.core.set_state(np.repeat(single[None], num_searches, axis=0))
+
+    def solution_from_trace(self, _state_encoded, actions, inverted):
+        """Episode trace -> reference-format solution list: non-inverted
+        actions in order, then inverted actions reversed (valid because the
+        phase-less gates are involutions; reference permutation.rs:251-256)."""
+        normal = [int(a) for a, inv in zip(actions, inverted) if not inv]
+        flipped = [int(a) for a, inv in zip(actions, inverted) if inv]
+        return normal + flipped[::-1]
 
     def post_process_synthesis(self, synth_circuit: Circuit, _input) -> Circuit:
         return synth_circuit
@@ -299,9 +314,59 @@ class PauliGym(BaseSynthesisEnv):
         self._original_circuit: Optional[Circuit] = None
 
     def _build_core(self):
-        # Batched Pauli kernels land with the AZ/Pauli milestone; until then
-        # the spec env drives this family (and raises on batched use).
-        self.core = None
+        from qiskit_gym_tpu.ops.pauli import PauliEnvCore
+
+        c = self.config
+        self.core = PauliEnvCore(
+            num_qubits=c["num_qubits"],
+            gateset=c["gateset"],
+            depth_slope=c.get("depth_slope", 2),
+            max_depth=c.get("max_depth", 128),
+            max_rotations=c.get("max_rotations", 5),
+            pauli_diff_scale=c.get("pauli_diff_scale", 8),
+            num_qubits_decay=c.get("num_qubits_decay", 0.5),
+            final_pauli_layers=c.get("final_pauli_layers"),
+            metrics_weights=c.get("metrics_weights"),
+            add_perms=c.get("add_perms", True),
+            pauli_layer_reward=c.get("pauli_layer_reward", 0.01),
+        )
+
+    @staticmethod
+    def _parse_encoded(state, num_qubits):
+        """[count, tableau(4n^2), len, ords..., ...] -> (tableau, labels)."""
+        it = iter([int(v) for v in state])
+        count = max(next(it), 0)
+        dim = 2 * num_qubits
+        tableau = np.array([next(it) for _ in range(dim * dim)]) \
+            .reshape(dim, dim)
+        labels = []
+        for _ in range(count):
+            length = max(next(it), 0)
+            labels.append("".join(chr(next(it)) for _ in range(length)))
+        return (tableau > 0).astype(np.int8), labels
+
+    def make_solve_state(self, state_encoded, num_searches: int):
+        import jax
+        import jax.numpy as jnp
+
+        tableau, labels = self._parse_encoded(state_encoded,
+                                              self.config["num_qubits"])
+        state = self.core.set_state(tableau[None], [labels])
+        return jax.tree.map(
+            lambda x: jnp.repeat(x, num_searches, axis=0), state
+        )
+
+    def solution_from_trace(self, state_encoded, actions, inverted):
+        """Replay through the spec twin to recover the packed solution
+        (gate indices interleaved with rotation events incl. phases)."""
+        replay = self.spec_cls(**{**self._filter_config(self.config),
+                                  "add_perms": False})
+        replay.set_state(list(state_encoded))
+        for a in actions:
+            if replay.is_final():
+                break
+            replay.step(int(a))
+        return replay.solution()
 
     def get_state(self, input, rotations: Optional[List[str]] = None) -> List[int]:
         input = _maybe_from_qiskit(input)
@@ -335,28 +400,72 @@ class PauliGym(BaseSynthesisEnv):
         return state
 
     def build_circuit_from_solution(self, actions: List[int], input) -> Circuit:
+        """Rebuild the circuit from the packed solution.
+
+        Rotations are re-placed by replaying the gate actions through a fresh
+        Pauli network at PRIMITIVE granularity: an event fired by the internal
+        cnot of a CZ/SWAP belongs between that gate's primitives (after the
+        whole composite the frame has changed and the recorded axis/qubit
+        would be wrong). The network's cnot(i, j) is the transposed-index
+        convention, so it reconstructs as cx(j, i)
+        (reference envs/synthesis.py:487-493)."""
+        from qiskit_gym_tpu.spec.pauli_env import PauliNetwork
+
         full = decode_pauli_solution(actions)
         num_qubits = self.config["num_qubits"]
         qc = Circuit(num_qubits)
-        gs = self.spec.gateset
-        for step_type, a1, a2, a3 in full:
-            if step_type == "gate":
-                name, qubits = gs[a1]
-                # The Pauli network's cnot uses the transposed-index
-                # convention; reverse CX qubit order on reconstruction
-                # (reference envs/synthesis.py:487-493).
-                if name == "CX":
-                    qc.cx(qubits[1], qubits[0])
-                else:
-                    qc.append(name, qubits)
-            else:  # rx/ry/rz
-                qubit, rot_index, phase_mult = a1, a2, a3
-                if rot_index >= len(self._rotation_params):
+
+        # rebuild the replay network from the target encoding
+        enc = self.get_state(input)
+        tableau, labels = self._parse_encoded(enc, num_qubits)
+        net = PauliNetwork(tableau.reshape(-1), labels)
+
+        rot_queue = [item for item in full if item[0] != "gate"]
+
+        def emit_events(events):
+            for axis, qubit, rindex, ev_mult in events:
+                if rot_queue:
+                    step_type, q, ridx, mult = rot_queue.pop(0)
+                else:  # fall back to the replay's own phase bookkeeping
+                    mult = ev_mult
+                    step_type = {"X": "rx", "Y": "ry", "Z": "rz"}[axis]
+                    q, ridx = qubit, rindex
+                if ridx >= len(self._rotation_params):
                     raise RuntimeError(
                         "Too few rotation parameters stored for synthesis"
                     )
-                angle = phase_mult * self._rotation_params[rot_index]
-                qc.append(step_type, (qubit,), (angle,))
+                qc.append(step_type, (q,), (mult * self._rotation_params[ridx],))
+
+        def cnot(i, j):
+            events = net._cnot(i, j)
+            qc.cx(j, i)
+            emit_events(events)
+
+        gs = self.spec.gateset
+        for step_type, a1, _a2, _a3 in full:
+            if step_type != "gate":
+                continue  # rotations are emitted at their extraction points
+            name, qs = gs[a1]
+            if name == "H":
+                net._h(qs[0]); qc.h(qs[0])
+            elif name == "S":
+                net._s(qs[0]); qc.s(qs[0])
+            elif name == "Sdg":
+                net._s(qs[0]); net._s(qs[0]); net._s(qs[0]); qc.sdg(qs[0])
+            elif name == "SX":
+                net._sx(qs[0]); qc.sx(qs[0])
+            elif name == "SXdg":
+                net._sx(qs[0]); net._sx(qs[0]); net._sx(qs[0]); qc.sxdg(qs[0])
+            elif name == "CX":
+                cnot(qs[0], qs[1])
+            elif name == "CZ":
+                net._h(qs[1]); qc.h(qs[1])
+                cnot(qs[0], qs[1])
+                net._h(qs[1]); qc.h(qs[1])
+            elif name == "SWAP":
+                cnot(qs[0], qs[1])
+                cnot(qs[1], qs[0])
+                cnot(qs[0], qs[1])
 
         original = input if isinstance(input, Circuit) else self._original_circuit
         if original is not None:
@@ -369,22 +478,25 @@ class PauliGym(BaseSynthesisEnv):
 
 def _parse_pauli_circuit(circuit: Circuit):
     """Split a Clifford+rotations circuit into (Clifford, rotation labels,
-    rotation angles); each rotation's Pauli is evolved through the Clifford
-    accumulated so far (reference envs/synthesis.py:317-364)."""
+    rotation angles) with rotations commuted to the FRONT of the circuit:
+    U = C · exp(-i t/2 P) · C_before = C · C_before · exp(-i t/2 P') with
+    P' = C_before^dag P C_before (reference envs/synthesis.py:317-364)."""
     from qiskit_gym_tpu.quantum import Pauli
 
     n = circuit.num_qubits
     clifford = Clifford.identity(n)
+    acc = Circuit(n)  # Clifford gates so far, for the C^dag P C evolution
     rotations: List[str] = []
     params: List[float] = []
     for name, qubits, gate_params in circuit:
         if name in ("rx", "ry", "rz"):
             p = Pauli.single(n, qubits[0], name[1].upper())
-            p = clifford.evolve_pauli(p)
+            p = p.evolve_circuit(acc.inverse())  # C^dag P C
             rotations.append(p.adjoint().to_label())
             params.extend(gate_params)
         else:
             clifford.append_gate(name, qubits)
+            acc.append(name, qubits)
     return clifford, rotations, params
 
 

@@ -1,13 +1,24 @@
-"""Batched GF(2) matrix envs (LinearFunction and Clifford) on device.
+"""Batched GF(2) matrix envs (Permutation, LinearFunction, Clifford) on device.
 
-One core implements both families — they differ only in matrix dimension and
-gate tables (kind='linear' -> n x n, kind='clifford' -> 2n x 2n phase-less
-symplectic; reference semantics rust/src/envs/{linear_function,clifford}.rs).
+One core implements all three families — they differ only in matrix dimension
+and gate matrices (permutation: n x n one-hot rows, SWAP = row swap;
+linear: n x n, CX = row XOR; clifford: 2n x 2n phase-less symplectic;
+reference semantics rust/src/envs/{permutation,linear_function,clifford}.rs).
 
-State layout is struct-of-arrays over the env batch; every method is pure and
-jit/vmap/shard_map-friendly. The transposed inverse `ct` rides along so the
-reference's 50% per-step state inversion is a pair of bit-transposes + select
-instead of an O(dim^3) Gauss-Jordan (see ops/__init__ docstring).
+TPU-first design (measured on v5e — see bench.py):
+- State is DENSE int8 [B, D, D] (D = dim padded to a multiple of 8, identity
+  in the padding block). Applying per-env gate `a` is one batched MXU matmul
+  M' = (G[a] @ M) mod 2 — gate matrices are elementary (I + e_d e_s^T or row
+  permutations), gathered per env from a static stack. This replaces per-env
+  row gathers, which are lane-hostile on TPU (60x slower, measured).
+- Every gate here is an involution on the phase-less state (G^-1 = G), so the
+  tracked inverse updates by RIGHT-multiplying the same gathered G:
+  (G M)^-1 = M^-1 G. The reference's 50%-per-step random state inversion
+  (rust maybe_random_invert) is then just a buffer swap — the O(dim^3)
+  Gauss-Jordan never runs inside an episode.
+- int8 x int8 -> int32 matmuls are exact; mod 2 is a bitwise AND with 1.
+- Metrics use one-hot selects (no scatters) and running-max layer counters
+  (layer sets are provably dense; spec/metrics.py).
 """
 
 from __future__ import annotations
@@ -19,25 +30,77 @@ import jax
 import jax.numpy as jnp
 
 from qiskit_gym_tpu.quantum.linear import gf2_inverse
-from qiskit_gym_tpu.spec.gates import parse_gateset
+from qiskit_gym_tpu.spec.gates import Gate, parse_gateset
 from qiskit_gym_tpu.spec.metrics import MetricsWeights
 
-from .bitops import bit_transpose, pack_bits, packed_identity, unpack_bits, words_for, padded_rows
-from .tables import (
-    MT_1Q, MT_CX, MT_CZ, MT_SWAP,
-    GateTables, MetricsTables, build_gate_tables,
-)
+from .tables import MT_1Q, MT_CX, MT_CZ, MT_SWAP, MetricsTables
+
+
+def _pad_dim(dim: int, multiple: int = 8) -> int:
+    return max(((dim + multiple - 1) // multiple) * multiple, multiple)
+
+
+def gate_matrix(gate: Gate, num_qubits: int, kind: str, D: int) -> np.ndarray:
+    """The gate's left-multiplication matrix over GF(2), padded to D x D.
+
+    Row-op semantics per family (phase-less):
+      permutation: SWAP(a,b) swaps rows a,b; 1q gates identity.
+      linear:      CX(c,t): row t ^= row c; SWAP swaps rows.
+      clifford:    H swap(q, n+q); S: n+q ^= q; SX: q ^= n+q;
+                   CX(c,t): t ^= c, n+c ^= n+t; CZ(a,b): n+a ^= b, n+b ^= a;
+                   SWAP: both row pairs.
+    """
+    n = num_qubits
+    G = np.eye(D, dtype=np.uint8)
+    name, qs = gate
+
+    def xor(d, s):
+        G[d] ^= np.eye(D, dtype=np.uint8)[s]
+
+    def swap(r1, r2):
+        G[[r1, r2]] = G[[r2, r1]]
+
+    if kind == "permutation":
+        if name == "SWAP":
+            swap(qs[0], qs[1])
+    elif kind == "linear":
+        if name == "CX":
+            xor(qs[1], qs[0])
+        elif name == "SWAP":
+            swap(qs[0], qs[1])
+    elif kind == "clifford":
+        if name == "H":
+            swap(qs[0], n + qs[0])
+        elif name in ("S", "Sdg"):
+            xor(n + qs[0], qs[0])
+        elif name in ("SX", "SXdg"):
+            xor(qs[0], n + qs[0])
+        elif name == "CX":
+            c, t = qs
+            xor(t, c)
+            xor(n + c, n + t)
+        elif name == "CZ":
+            a, b = qs
+            xor(n + a, b)
+            xor(n + b, a)
+        elif name == "SWAP":
+            a, b = qs
+            swap(a, b)
+            swap(n + a, n + b)
+    else:
+        raise ValueError(f"Unknown env kind {kind!r}")
+    return G
 
 
 class MatrixEnvState(NamedTuple):
-    a: jnp.ndarray         # uint32 [B, R, W]   current matrix
-    ct: jnp.ndarray        # uint32 [B, R, W]   transposed inverse
+    a: jnp.ndarray         # int8 [B, D, D]   current matrix
+    ainv: jnp.ndarray      # int8 [B, D, D]   its inverse
     depth: jnp.ndarray     # int32  [B]
     success: jnp.ndarray   # bool   [B]
     reward: jnp.ndarray    # float32[B]
     inverted: jnp.ndarray  # bool   [B]
-    last_g: jnp.ndarray    # int32  [B, n]      per-qubit last gate layer
-    last_c: jnp.ndarray    # int32  [B, n]      per-qubit last CX layer
+    last_g: jnp.ndarray    # int32  [B, n]    per-qubit last gate layer
+    last_c: jnp.ndarray    # int32  [B, n]    per-qubit last CX layer
     max_g: jnp.ndarray     # int32  [B]
     max_c: jnp.ndarray     # int32  [B]
     n_cnots: jnp.ndarray   # int32  [B]
@@ -55,38 +118,41 @@ class MatrixEnvCore:
         self,
         num_qubits: int,
         gateset: Sequence,
-        kind: str,                      # 'linear' | 'clifford'
+        kind: str,                      # 'permutation' | 'linear' | 'clifford'
         depth_slope: int = 2,
         max_depth: int = 128,
         metrics_weights: Optional[dict] = None,
         add_inverts: bool = True,
+        scramble_cap: int = 256,
     ):
-        assert kind in ("linear", "clifford")
+        assert kind in ("permutation", "linear", "clifford")
         self.kind = kind
         self.num_qubits = int(num_qubits)
         self.gateset = parse_gateset(gateset)
         self.dim = 2 * self.num_qubits if kind == "clifford" else self.num_qubits
-        self.W = words_for(self.dim)
-        self.R = padded_rows(self.dim)
+        self.D = _pad_dim(self.dim)
         self.depth_slope = int(depth_slope)
         self.max_depth = int(max_depth)
         self.add_inverts = bool(add_inverts)
+        self.scramble_cap = int(scramble_cap)
         self.weights = jnp.asarray(
             MetricsWeights.from_dict(metrics_weights).as_array()
         )
 
-        t: GateTables = build_gate_tables(self.gateset, self.num_qubits, kind)
-        self.perm = jnp.asarray(t.perm)
-        self.mask = jnp.asarray(t.mask)
-        self.xsrc = jnp.asarray(t.xsrc)
-        self.perm_t = jnp.asarray(t.perm_t)
-        self.mask_t = jnp.asarray(t.mask_t)
-        self.xsrc_t = jnp.asarray(t.xsrc_t)
+        # gate stack; index A (one past the end) is the identity no-op used
+        # for masked scramble steps
+        stack = np.stack(
+            [gate_matrix(g, self.num_qubits, kind, self.D) for g in self.gateset]
+            + [np.eye(self.D, dtype=np.uint8)]
+        )
+        self.gates = jnp.asarray(stack.astype(np.int8))     # [A+1, D, D]
         mt = MetricsTables.build(self.gateset)
-        self.mtype = jnp.asarray(mt.mtype)
-        self.mq1 = jnp.asarray(mt.q1)
-        self.mq2 = jnp.asarray(mt.q2)
-        self.ident = jnp.asarray(packed_identity(self.dim))  # uint32 [R, W]
+        # identity action is metrics-neutral: type 1Q on a dummy qubit slot
+        self.mtype = jnp.asarray(np.concatenate([mt.mtype, [MT_1Q]]))
+        self.mq1 = jnp.asarray(np.concatenate([mt.q1, [0]]))
+        self.mq2 = jnp.asarray(np.concatenate([mt.q2, [0]]))
+        self.ident = jnp.asarray(np.eye(self.D, dtype=np.int8))
+        self.noop_action = len(self.gateset)
 
     # ------------------------------------------------------------ properties
     @property
@@ -98,40 +164,45 @@ class MatrixEnvCore:
         return (self.dim, self.dim)
 
     # ------------------------------------------------------- matrix updates
-    def _apply(self, mat, action, perm, mask, xsrc):
-        """mat uint32[B, R, W]; action int32[B] -> new mat."""
-        p = perm[action]                                     # [B, R]
-        m = mask[action]                                     # [B, R]
-        s = xsrc[action]                                     # [B, R]
-        permuted = jnp.take_along_axis(mat, p[:, :, None], axis=1)
-        xorrow = jnp.take_along_axis(mat, s[:, :, None], axis=1)
-        return permuted ^ (m[:, :, None] & xorrow)
-
-    def apply_gates(self, a, ct, action):
-        """Apply per-env actions to (state, transposed-inverse)."""
-        new_a = self._apply(a, action, self.perm, self.mask, self.xsrc)
-        new_ct = self._apply(ct, action, self.perm_t, self.mask_t, self.xsrc_t)
-        return new_a, new_ct
+    def apply_gates(self, a, ainv, action):
+        """One batched MXU step: a' = (G[act] @ a) & 1, ainv' = (ainv @ G[act]) & 1."""
+        g = self.gates[action]  # [B, D, D] int8
+        new_a = jax.lax.dot_general(
+            g, a, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ) & 1
+        new_ainv = jax.lax.dot_general(
+            ainv, g, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ) & 1
+        return new_a.astype(jnp.int8), new_ainv.astype(jnp.int8)
 
     def _solved(self, a) -> jnp.ndarray:
         return jnp.all(a == self.ident[None], axis=(1, 2))
 
     # -------------------------------------------------------------- metrics
     def _metrics_update(self, state: MatrixEnvState, action):
-        B = action.shape[0]
-        bidx = jnp.arange(B)
-        mtype = self.mtype[action]
+        n = self.num_qubits
+        mtype = self.mtype[action]                     # [B]
         q1 = self.mq1[action]
         q2 = self.mq2[action]
-        lg1 = state.last_g[bidx, q1]
-        lg2 = state.last_g[bidx, q2]
-        lc1 = state.last_c[bidx, q1]
-        lc2 = state.last_c[bidx, q2]
+        qid = jnp.arange(n, dtype=jnp.int32)
+        oh1 = q1[:, None] == qid[None, :]              # [B, n]
+        oh2 = q2[:, None] == qid[None, :]
+
+        # one-hot masked-max reductions instead of per-lane gathers (last_*
+        # can be -1, so mask with a large negative instead of 0)
+        neg = jnp.int32(-(2 ** 30))
+        lg1 = jnp.max(jnp.where(oh1, state.last_g, neg), axis=1)
+        lg2 = jnp.max(jnp.where(oh2, state.last_g, neg), axis=1)
+        lc1 = jnp.max(jnp.where(oh1, state.last_c, neg), axis=1)
+        lc2 = jnp.max(jnp.where(oh2, state.last_c, neg), axis=1)
 
         is1q = mtype == MT_1Q
         iscx = mtype == MT_CX
         iscz = mtype == MT_CZ
         issw = mtype == MT_SWAP
+        noop = action == self.noop_action
 
         m_cx = jnp.maximum(lg1, lg2) + 1
         m_sw = jnp.maximum(lg1, lg2) + 3
@@ -142,20 +213,24 @@ class MatrixEnvCore:
         v2 = jnp.where(is1q, lg1 + 1,
              jnp.where(iscx, m_cx,
              jnp.where(issw, m_sw, m_cz + 1)))
-        new_last_g = state.last_g.at[bidx, q1].set(v1).at[bidx, q2].set(v2)
+        v1 = jnp.where(noop, lg1, v1)
+        v2 = jnp.where(noop, lg2, v2)
+        new_last_g = jnp.where(oh2, v2[:, None],
+                     jnp.where(oh1, v1[:, None], state.last_g))
 
         c_inc = jnp.where(issw, 3, 1)
         c_new = jnp.maximum(lc1, lc2) + c_inc
-        has_cx = ~is1q
+        has_cx = (~is1q) & (~noop)
         w1 = jnp.where(has_cx, c_new, lc1)
         w2 = jnp.where(has_cx, c_new, lc2)
-        new_last_c = state.last_c.at[bidx, q1].set(w1).at[bidx, q2].set(w2)
+        new_last_c = jnp.where(oh2, w2[:, None],
+                     jnp.where(oh1, w1[:, None], state.last_c))
 
         new_max_g = jnp.maximum(state.max_g, jnp.maximum(v1, v2))
         new_max_c = jnp.maximum(state.max_c, jnp.maximum(w1, w2))
 
-        d_gates = jnp.where(is1q | iscx, 1, 3)
-        d_cnots = jnp.where(is1q, 0, jnp.where(issw, 3, 1))
+        d_gates = jnp.where(noop, 0, jnp.where(is1q | iscx, 1, 3))
+        d_cnots = jnp.where(is1q | noop, 0, jnp.where(issw, 3, 1))
         d_layers = new_max_g - state.max_g
         d_layers_c = new_max_c - state.max_c
 
@@ -185,19 +260,17 @@ class MatrixEnvCore:
         """One batched env step. `key` is consumed for the inversion coin-flip;
         `invert_override` (bool [B]) injects the flips for trace tests."""
         state, penalty = self._metrics_update(state, action)
-        new_a, new_ct = self.apply_gates(state.a, state.ct, action)
+        new_a, new_ainv = self.apply_gates(state.a, state.ainv, action)
 
         if self.add_inverts:
             if invert_override is None:
                 flip = jax.random.bernoulli(key, 0.5, (state.batch,))
             else:
                 flip = invert_override
-            a_t = bit_transpose(new_a)
-            ct_t = bit_transpose(new_ct)
             f3 = flip[:, None, None]
-            new_a, new_ct = (
-                jnp.where(f3, ct_t, new_a),
-                jnp.where(f3, a_t, new_ct),
+            new_a, new_ainv = (
+                jnp.where(f3, new_ainv, new_a),
+                jnp.where(f3, new_a, new_ainv),
             )
             inverted = state.inverted ^ flip
         else:
@@ -207,7 +280,7 @@ class MatrixEnvCore:
         success = self._solved(new_a)
         reward = jnp.where(success, 1.0, 0.0).astype(jnp.float32) - penalty
         return state._replace(
-            a=new_a, ct=new_ct, depth=depth, success=success,
+            a=new_a, ainv=new_ainv, depth=depth, success=success,
             reward=reward, inverted=inverted,
         )
 
@@ -217,7 +290,7 @@ class MatrixEnvCore:
         ident = jnp.tile(self.ident[None], (B, 1, 1))
         return MatrixEnvState(
             a=ident,
-            ct=ident,
+            ainv=ident,
             depth=jnp.ones(B, jnp.int32),
             success=jnp.ones(B, bool),
             reward=jnp.ones(B, jnp.float32),
@@ -234,69 +307,76 @@ class MatrixEnvCore:
         self,
         key: jax.Array,
         B: int,
-        difficulty: jnp.ndarray,
+        difficulty,
         scramble_override: Optional[jnp.ndarray] = None,
     ) -> MatrixEnvState:
         """Scramble identity with `difficulty` random gateset actions per env.
 
-        `scramble_override` (int32 [B, K]) injects the scramble actions (its
-        static width K then bounds the loop; entries >= num_actions are
-        ignored, letting tests express per-env variable-length scrambles).
-        """
+        The scramble loop bound must be static for fast TPU compilation: a
+        concrete int difficulty loops exactly that many times; a traced
+        difficulty loops `scramble_cap` times with no-op actions beyond
+        `difficulty`. `scramble_override` (int32 [B, K]) injects the actions
+        (entries >= num_actions are no-ops)."""
         state = self._fresh(B)
-        difficulty = jnp.asarray(difficulty, jnp.int32)
 
         if scramble_override is not None:
             K = scramble_override.shape[1]
 
             def body(i, mats):
-                a, ct = mats
+                a, ainv = mats
                 act = scramble_override[:, i]
-                valid = act < self.num_actions
-                act = jnp.where(valid, act, 0)
-                na, nct = self.apply_gates(a, ct, act)
-                v3 = valid[:, None, None]
-                return jnp.where(v3, na, a), jnp.where(v3, nct, ct)
+                act = jnp.where(act < self.num_actions, act, self.noop_action)
+                return self.apply_gates(a, ainv, act)
 
-            a, ct = jax.lax.fori_loop(0, K, body, (state.a, state.ct))
+            a, ainv = jax.lax.fori_loop(0, K, body, (state.a, state.ainv))
         else:
-            def body(i, carry):
-                a, ct, k = carry
-                k, sub = jax.random.split(k)
-                act = jax.random.randint(sub, (B,), 0, self.num_actions)
-                a, ct = self.apply_gates(a, ct, act)
-                return a, ct, k
+            static_diff = isinstance(difficulty, (int, np.integer))
+            K = int(difficulty) if static_diff else self.scramble_cap
+            acts = jax.random.randint(key, (B, max(K, 1)), 0, self.num_actions)
+            if not static_diff:
+                mask = jnp.arange(K)[None, :] < jnp.asarray(difficulty)
+                acts = jnp.where(mask, acts, self.noop_action)
 
-            a, ct, _ = jax.lax.fori_loop(
-                0, difficulty, body, (state.a, state.ct, key)
-            )
+            def body(i, mats):
+                a, ainv = mats
+                return self.apply_gates(a, ainv, acts[:, i])
+
+            a, ainv = jax.lax.fori_loop(0, K, body, (state.a, state.ainv))
 
         success = self._solved(a)
-        depth = jnp.minimum(self.depth_slope * difficulty, self.max_depth)
+        depth = jnp.minimum(
+            self.depth_slope * jnp.asarray(difficulty, jnp.int32), self.max_depth
+        )
         return state._replace(
-            a=a, ct=ct,
+            a=a, ainv=ainv,
             depth=jnp.full((B,), depth, jnp.int32),
             success=success,
             reward=success.astype(jnp.float32),
         )
 
     # ------------------------------------------------------------- state io
+    def _pad(self, dense: np.ndarray) -> np.ndarray:
+        B = dense.shape[0]
+        out = np.tile(np.eye(self.D, dtype=np.int8), (B, 1, 1))
+        out[:, : self.dim, : self.dim] = dense
+        return out
+
     def set_state(self, dense: np.ndarray) -> MatrixEnvState:
         """Host-side: dense uint8/bool [B, dim, dim] -> device state.
 
-        Mirrors the reference set_state semantics: depth budget = max_depth,
+        Mirrors reference set_state semantics: depth budget = max_depth,
         metrics cleared (reference clifford.rs:299-304)."""
         dense = np.asarray(dense)
         if dense.ndim == 2:
             dense = dense[None]
+        dense = (dense != 0).astype(np.int8)
         B = dense.shape[0]
-        a = np.stack([pack_bits(m) for m in dense])
-        ct = np.stack([pack_bits(gf2_inverse(m).T) for m in dense])
+        inv = np.stack([gf2_inverse(m) for m in dense]).astype(np.int8)
         state = self._fresh(B)
-        a = jnp.asarray(a)
+        a = jnp.asarray(self._pad(dense))
         success = self._solved(a)
         return state._replace(
-            a=a, ct=jnp.asarray(ct),
+            a=a, ainv=jnp.asarray(self._pad(inv)),
             depth=jnp.full(B, self.max_depth, jnp.int32),
             success=success,
             reward=success.astype(jnp.float32),
@@ -305,11 +385,11 @@ class MatrixEnvCore:
     # -------------------------------------------------------------- observe
     def dense(self, state: MatrixEnvState) -> jnp.ndarray:
         """uint8 [B, dim, dim] current matrices."""
-        return unpack_bits(state.a, self.dim)
+        return state.a[:, : self.dim, : self.dim].astype(jnp.uint8)
 
     def observe(self, state: MatrixEnvState, dtype=jnp.float32) -> jnp.ndarray:
         """Policy observation: [B, dim, dim] in the requested float dtype."""
-        return self.dense(state).astype(dtype)
+        return state.a[:, : self.dim, : self.dim].astype(dtype)
 
     def masks(self, state: MatrixEnvState) -> jnp.ndarray:
         """bool [B, A]: all actions legal unless already solved."""

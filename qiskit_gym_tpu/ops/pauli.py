@@ -1,22 +1,678 @@
-"""Batched Pauli-network env on device — placeholder.
+"""Batched Pauli-network env on device.
 
-The full fixed-shape kernel design (masked rotation columns, bitmask
-anti-commutation DAG, on-device trivial-rotation sweep) lands after the
-PPO/AZ stack; the spec env (spec/pauli_env.py) already provides the
-single-env semantics.
+Reference semantics: rust/src/envs/pauli.rs + rust/src/pauli/* (re-derived;
+the spec twin is spec/pauli_env.py). Fixed-shape design:
+
+- Tableau block: dense int8 [B, D2, D2] updated by ONE batched MXU matmul
+  per step with the action's NET gate matrix (the product of its primitive
+  row-ops, using the Pauli network's transposed-index cnot convention).
+- Rotations: (x, z) bits int8 [B, R, n] + phase mod 4 [B, R], evolved through
+  the action's primitive sequence (<= 9 H/S/CNOT slots; composite gates like
+  SXdg = (HSH)^3 expand exactly as the reference applies them), because phase
+  updates read intermediate bit values.
+- The anti-commutation DAG is a static-per-episode bool matrix [B, R, R]
+  (edges later->earlier); the front layer and the trivial-rotation sweep are
+  masked reductions — petgraph's retain_nodes becomes an `active` mask update.
+  A cleanup (R fixed passes) runs after every primitive CNOT, exactly like
+  the reference runs clean_and_return_with_phases inside cnot().
+- The observe-time random coupling-map automorphism is explicit env state
+  (perm_idx, resampled each step/reset) instead of the reference's
+  AtomicUsize side-channel (rust pauli.rs:294-297); it is applied to the
+  observation with one-hot permutation matrices (MXU, no per-lane gathers)
+  and un-applied to incoming actions via the act_perms table.
+- Reset generation (distance-budgeted random Pauli strings + 70/15/15
+  H/S/CX tableau scramble, reference pauli.rs:113-271) runs fully on device
+  with masked fixed-bound loops.
+
+Solution reconstruction (packed rotation events with phases) is host-side
+replay of the chosen action sequence through the spec env.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qiskit_gym_tpu.spec.gates import parse_gateset
+from qiskit_gym_tpu.spec.metrics import MetricsWeights
+from qiskit_gym_tpu.spec.pauli_env import graph_distances
+from qiskit_gym_tpu.spec.symmetry import compute_qubit_perms
+
+from .matrix_env import _pad_dim
+from .tables import MT_1Q, MT_CX, MT_CZ, MT_SWAP, MetricsTables
+
+# primitive op codes
+P_NOP, P_H, P_S, P_CNOT = 0, 1, 2, 3
+MAX_PRIMS = 9  # SXdg = (H S H)^3
+
+
+def _primitive_sequence(gate) -> list:
+    name, qs = gate
+    if name == "H":
+        return [(P_H, qs[0], 0)]
+    if name == "S":
+        return [(P_S, qs[0], 0)]
+    if name == "Sdg":
+        return [(P_S, qs[0], 0)] * 3
+    if name == "SX":
+        return [(P_H, qs[0], 0), (P_S, qs[0], 0), (P_H, qs[0], 0)]
+    if name == "SXdg":
+        return [(P_H, qs[0], 0), (P_S, qs[0], 0), (P_H, qs[0], 0)] * 3
+    if name == "CX":
+        return [(P_CNOT, qs[0], qs[1])]
+    if name == "CZ":
+        return [(P_H, qs[1], 0), (P_CNOT, qs[0], qs[1]), (P_H, qs[1], 0)]
+    if name == "SWAP":
+        return [(P_CNOT, qs[0], qs[1]), (P_CNOT, qs[1], qs[0]),
+                (P_CNOT, qs[0], qs[1])]
+    raise ValueError(name)
+
+
+def _network_gate_matrix(gate, n: int, D2: int) -> np.ndarray:
+    """Net tableau left-multiplication matrix (network cnot convention:
+    CNOT(i,j): row i ^= row j ; row n+j ^= row n+i)."""
+    G = np.eye(D2, dtype=np.uint8)
+    for ptype, a, b in _primitive_sequence(gate):
+        if ptype == P_H:
+            G[[a, n + a]] = G[[n + a, a]]
+        elif ptype == P_S:
+            G[n + a] ^= G[a]
+        elif ptype == P_CNOT:
+            G[a] ^= G[b]
+            G[n + b] ^= G[n + a]
+    return G
 
 
 class PauliEnvState(NamedTuple):
-    pass
+    tab: jnp.ndarray        # int8 [B, D2, D2]
+    rx: jnp.ndarray         # int8 [B, R, n]
+    rz: jnp.ndarray         # int8 [B, R, n]
+    rphase: jnp.ndarray     # int8 [B, R]  (mod 4)
+    active: jnp.ndarray     # bool [B, R]
+    anti: jnp.ndarray       # bool [B, R, R]  anti-commutation, j < i
+    perm_idx: jnp.ndarray   # int32 [B] automorphism in effect for observe/step
+    depth: jnp.ndarray      # int32 [B]
+    success: jnp.ndarray    # bool  [B]
+    reward: jnp.ndarray     # f32   [B]
+    inverted: jnp.ndarray   # bool  [B] (always False; kept for API uniformity)
+    last_g: jnp.ndarray     # int32 [B, n]
+    last_c: jnp.ndarray     # int32 [B, n]
+    max_g: jnp.ndarray
+    max_c: jnp.ndarray
+    n_cnots: jnp.ndarray
+    n_gates: jnp.ndarray
+
+    @property
+    def batch(self) -> int:
+        return self.tab.shape[0]
 
 
 class PauliEnvCore:
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "PauliEnvCore (batched) is not implemented yet; use spec.PauliSpecEnv"
+    def __init__(
+        self,
+        num_qubits: int,
+        gateset: Sequence,
+        depth_slope: int = 2,
+        max_depth: int = 128,
+        max_rotations: int = 5,
+        pauli_diff_scale: int = 8,
+        num_qubits_decay: float = 0.5,
+        final_pauli_layers: Optional[int] = None,
+        metrics_weights: Optional[dict] = None,
+        add_perms: bool = True,
+        pauli_layer_reward: float = 0.01,
+        scramble_cap: int = 256,
+    ):
+        self.num_qubits = n = int(num_qubits)
+        self.gateset = parse_gateset(gateset)
+        self.R = max(int(max_rotations), 1)   # obs width cap (max_rotations)
+        self.dim = 2 * n
+        self.D2 = _pad_dim(self.dim)
+        self.depth_slope = int(depth_slope)
+        self.max_depth = int(max_depth)
+        self.pauli_diff_scale = max(int(pauli_diff_scale), 1)
+        self.num_qubits_decay = float(num_qubits_decay)
+        self.final_pauli_layers = (
+            int(final_pauli_layers) if final_pauli_layers is not None
+            else self.R + 2
         )
+        # rotation storage capacity: reset can generate up to
+        # final_pauli_layers rotations (> max_rotations); the obs compaction
+        # shows at most R of the active ones (reference pad_and_collect)
+        self.RT = max(self.final_pauli_layers, self.R)
+        self.pauli_layer_reward = float(pauli_layer_reward)
+        self.add_inverts = False
+        self.scramble_cap = int(scramble_cap)
+        self.weights = jnp.asarray(
+            MetricsWeights.from_dict(metrics_weights).as_array()
+        )
+
+        A = len(self.gateset)
+        # net tableau matrices (+ identity no-op at index A)
+        stack = np.stack(
+            [_network_gate_matrix(g, n, self.D2) for g in self.gateset]
+            + [np.eye(self.D2, dtype=np.uint8)]
+        )
+        self.gates = jnp.asarray(stack.astype(np.int8))
+        self.noop_action = A
+
+        # primitive tables [A+1, MAX_PRIMS]
+        pt = np.zeros((A + 1, MAX_PRIMS), np.int32)
+        p1 = np.zeros((A + 1, MAX_PRIMS), np.int32)
+        p2 = np.zeros((A + 1, MAX_PRIMS), np.int32)
+        for a, g in enumerate(self.gateset):
+            for k, (c, q1, q2) in enumerate(_primitive_sequence(g)):
+                pt[a, k], p1[a, k], p2[a, k] = c, q1, q2
+        self.ptype = jnp.asarray(pt)
+        self.pq1 = jnp.asarray(p1)
+        self.pq2 = jnp.asarray(p2)
+
+        mt = MetricsTables.build(self.gateset)
+        self.mtype = jnp.asarray(np.concatenate([mt.mtype, [MT_1Q]]))
+        self.mq1 = jnp.asarray(np.concatenate([mt.q1, [0]]))
+        self.mq2 = jnp.asarray(np.concatenate([mt.q2, [0]]))
+        self.ident = jnp.asarray(np.eye(self.D2, dtype=np.int8))
+
+        # symmetry: qubit automorphisms as one-hot matrices + action perms
+        if add_perms:
+            qubit_perms, act_perms = compute_qubit_perms(n, self.gateset)
+        else:
+            qubit_perms, act_perms = [list(range(n))], [list(range(A))]
+        self.num_perms = len(qubit_perms)
+        pmats = np.zeros((self.num_perms, self.D2, self.D2), np.int8)
+        for k, perm in enumerate(qubit_perms):
+            for i, p in enumerate(perm):
+                # dst row i <- src row perm[i] (reference apply_perm_to_obs)
+                pmats[k, i, p] = 1
+                pmats[k, n + i, n + p] = 1
+            for d in range(self.dim, self.D2):
+                pmats[k, d, d] = 1
+        self.perm_mats = jnp.asarray(pmats)             # [P, D2, D2]
+        self.act_perms = jnp.asarray(np.asarray(act_perms, np.int32))  # [P, A]
+        self.qubit_perms = [list(p) for p in qubit_perms]
+
+        # reset-generation tables
+        self.valid_pairs = [qs for name, qs in self.gateset if name == "CX"]
+        dist = graph_distances(n, self.valid_pairs)
+        dist_pairs = {}
+        for q1 in range(n):
+            for q2 in range(q1 + 1, n):
+                if (q1, q2) in dist:
+                    dist_pairs.setdefault(dist[(q1, q2)], []).append((q1, q2))
+        self.all_dists = sorted(dist_pairs)
+        nd = max(len(self.all_dists), 1)
+        mx = max((len(v) for v in dist_pairs.values()), default=1)
+        pair_tab = np.zeros((nd, mx, 2), np.int32)
+        pair_cnt = np.zeros((nd,), np.int32)
+        dist_vals = np.zeros((nd,), np.int32)
+        for k, d in enumerate(self.all_dists):
+            ps = dist_pairs[d]
+            pair_cnt[k] = len(ps)
+            dist_vals[k] = d
+            for j, p in enumerate(ps):
+                pair_tab[k, j] = p
+        self.pair_tab = jnp.asarray(pair_tab)
+        self.pair_cnt = jnp.asarray(pair_cnt)
+        self.dist_vals = jnp.asarray(dist_vals)
+
+        # scramble primitive stack: CX(valid_pairs) / H(q) / S(q) matrices
+        prim = []
+        for (q0, q1) in self.valid_pairs:
+            # reference random_clifford_tableau CX: row q1 ^= row q0,
+            # row n+q0 ^= row n+q1 (Clifford-env convention)
+            G = np.eye(self.D2, dtype=np.uint8)
+            G[q1] ^= G[q0]
+            G[n + q0] ^= G[n + q1]
+            prim.append(G)
+        self.n_scramble_cx = max(len(prim), 1)
+        for q in range(n):
+            G = np.eye(self.D2, dtype=np.uint8)
+            G[[q, n + q]] = G[[n + q, q]]
+            prim.append(G)
+        for q in range(n):
+            G = np.eye(self.D2, dtype=np.uint8)
+            G[n + q] ^= G[q]
+            prim.append(G)
+        prim.append(np.eye(self.D2, dtype=np.uint8))  # no-op
+        self.scramble_mats = jnp.asarray(np.stack(prim).astype(np.int8))
+
+    # ------------------------------------------------------------ properties
+    @property
+    def num_actions(self) -> int:
+        return len(self.gateset)
+
+    @property
+    def obs_shape(self) -> Tuple[int, int]:
+        return (self.dim, self.dim + self.R)
+
+    # --------------------------------------------------------- rotation math
+    def _rot_weight(self, rx, rz):
+        return jnp.sum((rx | rz).astype(jnp.int32), axis=-1)  # [B, R]
+
+    def _front_layer(self, active, anti):
+        blocked = jnp.any(anti & active[:, None, :], axis=-1)  # [B, R]
+        return active & ~blocked
+
+    def _cleanup(self, rx, rz, active, anti):
+        """Repeated front-layer sweep removing trivial rotations.
+
+        Returns (new_active, removed_count [B])."""
+        weight = self._rot_weight(rx, rz)
+        trivial = weight <= 1
+
+        def body(i, carry):
+            active, removed = carry
+            t = self._front_layer(active, anti) & trivial
+            active = active & ~t
+            removed = removed + t.sum(axis=-1)
+            return active, removed
+
+        active, removed = jax.lax.fori_loop(
+            0, self.RT, body, (active, jnp.zeros(active.shape[0], jnp.int32))
+        )
+        return active, removed
+
+    def _apply_primitives(self, state: PauliEnvState, action):
+        """Evolve rotations (bits + phases) through the action's primitive
+        sequence, running the trivial sweep after every CNOT."""
+        n = self.num_qubits
+        qid = jnp.arange(n, dtype=jnp.int32)
+        pt = self.ptype[action]   # [B, MAX_PRIMS]
+        p1 = self.pq1[action]
+        p2 = self.pq2[action]
+
+        def slot(k, carry):
+            rx, rz, ph, active, removed = carry
+            c = pt[:, k]
+            a = p1[:, k]
+            b = p2[:, k]
+            oh_a = (a[:, None] == qid[None, :])[:, None, :]  # [B, 1, n]
+            oh_b = (b[:, None] == qid[None, :])[:, None, :]
+            is_h = (c == P_H)[:, None, None]
+            is_s = (c == P_S)[:, None, None]
+            is_cx = (c == P_CNOT)[:, None, None]
+
+            xa = jnp.sum(jnp.where(oh_a, rx, 0), axis=-1)   # [B, R]
+            za = jnp.sum(jnp.where(oh_a, rz, 0), axis=-1)
+            xb = jnp.sum(jnp.where(oh_b, rx, 0), axis=-1)
+            zb = jnp.sum(jnp.where(oh_b, rz, 0), axis=-1)
+
+            # H(a): swap x_a <-> z_a ; phase += 2 x_a z_a
+            rx_h = jnp.where(oh_a, rz, rx)
+            rz_h = jnp.where(oh_a, rx, rz)
+            ph_h = ph + 2 * (xa * za).astype(ph.dtype)
+            # S(a): z_a ^= x_a ; phase += x_a
+            rz_s = jnp.where(oh_a, rz ^ rx, rz)
+            ph_s = ph + xa.astype(ph.dtype)
+            # CNOT(a,b) == evolve_cx(ctrl=b, trgt=a): x_a ^= x_b ; z_b ^= z_a
+            rx_c = jnp.where(oh_a, rx ^ xb[:, :, None], rx)
+            rz_c = jnp.where(oh_b, rz ^ za[:, :, None], rz)
+
+            rx = jnp.where(is_h, rx_h, jnp.where(is_cx, rx_c, rx))
+            rz = jnp.where(is_h, rz_h,
+                 jnp.where(is_s, rz_s, jnp.where(is_cx, rz_c, rz)))
+            ph = jnp.where(c[:, None] == P_H, ph_h,
+                 jnp.where(c[:, None] == P_S, ph_s, ph)) % 4
+
+            # cleanup after CNOT slots only
+            new_active, rem = self._cleanup(rx, rz, active, state.anti)
+            iscx_b = (c == P_CNOT)
+            active = jnp.where(iscx_b[:, None], new_active, active)
+            removed = removed + jnp.where(iscx_b, rem, 0)
+            return rx, rz, ph, active, removed
+
+        removed0 = jnp.zeros(state.batch, jnp.int32)
+        rx, rz, ph, active, removed = jax.lax.fori_loop(
+            0, MAX_PRIMS, slot,
+            (state.rx.astype(jnp.int32), state.rz.astype(jnp.int32),
+             state.rphase.astype(jnp.int32), state.active, removed0),
+        )
+        return (rx.astype(jnp.int8), rz.astype(jnp.int8),
+                ph.astype(jnp.int8), active, removed)
+
+    # -------------------------------------------------------------- metrics
+    # shares the closed-form metrics kernel shape with MatrixEnvCore
+    from .matrix_env import MatrixEnvCore as _MEC  # noqa: E402
+    _metrics_update = _MEC._metrics_update
+
+    def translate_action(self, state: PauliEnvState, action):
+        """Policy-frame -> env-frame action through the active automorphism."""
+        return self.act_perms[state.perm_idx, action]
+
+    # ----------------------------------------------------------------- step
+    def step(
+        self,
+        state: PauliEnvState,
+        action: jnp.ndarray,
+        key: jax.Array,
+        invert_override=None,  # unused; API uniformity
+    ) -> PauliEnvState:
+        # un-permute the incoming action through the active automorphism
+        actual = self.translate_action(state, action)
+        state, penalty = self._metrics_update(state, actual)
+
+        g = self.gates[actual]
+        new_tab = (jax.lax.dot_general(
+            g, state.tab, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ) & 1).astype(jnp.int8)
+
+        rx, rz, ph, active, removed = self._apply_primitives(state, actual)
+
+        # resample the automorphism for the next observe (explicit state
+        # instead of the reference's observe-time AtomicUsize side channel)
+        k_perm, _ = jax.random.split(key)
+        perm_idx = jax.random.randint(k_perm, (state.batch,), 0, self.num_perms)
+
+        depth = jnp.maximum(state.depth - 1, 0)
+        success = self._solved(new_tab, active)
+        reward = (
+            jnp.where(success, 1.0, 0.0).astype(jnp.float32)
+            - penalty
+            + self.pauli_layer_reward * removed.astype(jnp.float32)
+        )
+        return state._replace(
+            tab=new_tab, rx=rx, rz=rz, rphase=ph, active=active,
+            perm_idx=perm_idx, depth=depth, success=success, reward=reward,
+        )
+
+    def _solved(self, tab, active):
+        return (~active.any(axis=-1)) & jnp.all(
+            tab == self.ident[None], axis=(1, 2)
+        )
+
+    # ---------------------------------------------------------------- reset
+    def _fresh(self, B: int) -> PauliEnvState:
+        n = self.num_qubits
+        return PauliEnvState(
+            tab=jnp.tile(self.ident[None], (B, 1, 1)),
+            rx=jnp.zeros((B, self.RT, n), jnp.int8),
+            rz=jnp.zeros((B, self.RT, n), jnp.int8),
+            rphase=jnp.zeros((B, self.RT), jnp.int8),
+            active=jnp.zeros((B, self.RT), bool),
+            anti=jnp.zeros((B, self.RT, self.RT), bool),
+            perm_idx=jnp.zeros(B, jnp.int32),
+            depth=jnp.ones(B, jnp.int32),
+            success=jnp.ones(B, bool),
+            reward=jnp.ones(B, jnp.float32),
+            inverted=jnp.zeros(B, bool),
+            last_g=jnp.full((B, n), -1, jnp.int32),
+            last_c=jnp.full((B, n), -1, jnp.int32),
+            max_g=jnp.full(B, -1, jnp.int32),
+            max_c=jnp.full(B, -1, jnp.int32),
+            n_cnots=jnp.zeros(B, jnp.int32),
+            n_gates=jnp.zeros(B, jnp.int32),
+        )
+
+    def _build_anti(self, rx, rz, valid):
+        """anti[i, j] (j < i): rotations i, j anticommute; only valid rows."""
+        x_i_z_j = jax.lax.dot_general(
+            rx.astype(jnp.int32), rz.astype(jnp.int32),
+            (((2,), (2,)), ((0,), (0,))),
+        )
+        z_i_x_j = jax.lax.dot_general(
+            rz.astype(jnp.int32), rx.astype(jnp.int32),
+            (((2,), (2,)), ((0,), (0,))),
+        )
+        anti = ((x_i_z_j + z_i_x_j) % 2).astype(bool)
+        R = self.RT
+        lower = jnp.tril(jnp.ones((R, R), bool), k=-1)
+        return anti & lower[None] & valid[:, :, None] & valid[:, None, :]
+
+    def _generate_rotations(self, key, B, pauli_difficulty):
+        """Distance-budgeted random Pauli strings (reference pauli.rs:113-213),
+        vectorized with masked fixed-bound loops."""
+        n = self.num_qubits
+        nd = self.pair_cnt.shape[0]
+        EXT_CAP = 16  # reference's extension loop exits w.p. >= decay per iter
+
+        def sample_masked(k, scores_mask):
+            # uniform index among True entries of scores_mask [B, nd];
+            # rows with no valid entry fall back to index 0 (callers mask)
+            safe = scores_mask | ~scores_mask.any(-1, keepdims=True)
+            logits = jnp.where(safe, 0.0, -jnp.inf)
+            return jax.random.categorical(k, logits, axis=-1)
+
+        def gen_one(carry, k):
+            budget, count = carry  # [B] remaining difficulty, [B] rotations made
+            ks = jax.random.split(k, 4 + EXT_CAP)
+            can = (self.dist_vals[None, :] <= budget[:, None]) & (
+                self.pair_cnt[None, :] > 0
+            )
+            any_valid = can.any(axis=-1) & (budget > 0) & (
+                count < self.final_pauli_layers
+            )
+            d_idx = sample_masked(ks[0], can)
+            pair_i = jax.random.randint(ks[1], (B,), 0, 1 << 30) % jnp.maximum(
+                self.pair_cnt[d_idx], 1
+            )
+            pair = self.pair_tab[d_idx, pair_i]          # [B, 2]
+            member = (jnp.arange(n)[None, :] == pair[:, 0:1]) | (
+                jnp.arange(n)[None, :] == pair[:, 1:2]
+            )
+            budget_new = jnp.maximum(budget - self.dist_vals[d_idx], 0)
+
+            def ext(i, ec):
+                member, budget_new, stopped = ec
+                kk = ks[4 + i]
+                k1, k2, k3 = jax.random.split(kk, 3)
+                can_e = (self.dist_vals[None, :] <= budget_new[:, None]) & (
+                    self.pair_cnt[None, :] > 0
+                )
+                anyq_left = (~member).any(axis=-1)
+                go = (~stopped) & (budget_new > 0) & can_e.any(-1) & anyq_left
+                # decay break
+                go = go & (jax.random.uniform(k1, (B,)) > self.num_qubits_decay)
+                d2 = sample_masked(k2, can_e)
+                # pairs at d2 connecting to the member set
+                ptab = self.pair_tab[d2]                 # [B, mx, 2]
+                pcnt = self.pair_cnt[d2]
+                conn = (
+                    jnp.take_along_axis(
+                        member, ptab[:, :, 0], axis=1
+                    ) | jnp.take_along_axis(member, ptab[:, :, 1], axis=1)
+                ) & (jnp.arange(ptab.shape[1])[None, :] < pcnt[:, None])
+                has_conn = conn.any(-1)
+                conn_safe = conn | ~conn.any(-1, keepdims=True)
+                sel = jax.random.categorical(
+                    k3, jnp.where(conn_safe, 0.0, -jnp.inf), axis=-1
+                )
+                chosen = jnp.take_along_axis(
+                    ptab, sel[:, None, None].repeat(2, 2), axis=1
+                )[:, 0]                                   # [B, 2]
+                add = go & has_conn
+                newmem = member | (
+                    add[:, None] & (
+                        (jnp.arange(n)[None, :] == chosen[:, 0:1])
+                        | (jnp.arange(n)[None, :] == chosen[:, 1:2])
+                    )
+                )
+                budget2 = jnp.where(add, jnp.maximum(
+                    budget_new - self.dist_vals[d2], 0), budget_new)
+                stopped = stopped | ~go
+                return newmem, budget2, stopped
+
+            member, budget_new, _ = jax.lax.fori_loop(
+                0, EXT_CAP, ext,
+                (member, budget_new, jnp.zeros(B, bool)),
+            )
+            # random axes for members
+            ax = jax.random.randint(ks[2], (B, n), 0, 3)
+            x = member & ((ax == 0) | (ax == 1))
+            z = member & ((ax == 2) | (ax == 1))
+            cost = budget - budget_new
+            # matches reference remaining_diff -= max(cost, 1), saturating
+            budget_out = jnp.where(any_valid,
+                                   budget - jnp.maximum(cost, 1), budget)
+            budget_out = jnp.maximum(budget_out, 0)
+            count_out = count + any_valid.astype(jnp.int32)
+            return (budget_out, count_out), (
+                x & any_valid[:, None], z & any_valid[:, None],
+                any_valid,
+            )
+
+        keys = jax.random.split(key, self.RT)
+        (_, _), (xs, zs, made) = jax.lax.scan(
+            gen_one, (pauli_difficulty, jnp.zeros(B, jnp.int32)), keys
+        )
+        rx = jnp.moveaxis(xs, 0, 1).astype(jnp.int8)   # [B, R, n]
+        rz = jnp.moveaxis(zs, 0, 1).astype(jnp.int8)
+        valid = jnp.moveaxis(made, 0, 1)               # [B, R]
+        num_y = jnp.sum((rx & rz).astype(jnp.int32), axis=-1)
+        rphase = (num_y % 4).astype(jnp.int8)
+        return rx, rz, rphase, valid
+
+    def _scramble_tableau(self, key, B, difficulty):
+        """70% CX / 15% H / 15% S row-op scramble (reference pauli.rs:220-271)."""
+        n = self.num_qubits
+        ncx = self.n_scramble_cx
+        noop = self.scramble_mats.shape[0] - 1
+        static_diff = isinstance(difficulty, (int, np.integer))
+        K = int(difficulty) if static_diff else self.scramble_cap
+        K = max(K, 1)
+        k1, k2 = jax.random.split(key)
+        r = jax.random.uniform(k1, (B, K))
+        rq = jax.random.randint(k2, (B, K, 3), 0, 1 << 30)
+        cx_idx = rq[:, :, 0] % max(len(self.valid_pairs), 1)
+        h_idx = ncx + rq[:, :, 1] % n
+        s_idx = ncx + n + rq[:, :, 2] % n
+        idx = jnp.where(r > 0.3, cx_idx, jnp.where(r > 0.15, h_idx, s_idx))
+        if len(self.valid_pairs) == 0:
+            idx = jnp.full_like(idx, noop)
+        if not static_diff:
+            mask = jnp.arange(K)[None, :] < jnp.asarray(difficulty)
+            idx = jnp.where(mask, idx, noop)
+
+        tab0 = jnp.tile(self.ident[None], (B, 1, 1))
+
+        def body(i, tab):
+            g = self.scramble_mats[idx[:, i]]
+            return (jax.lax.dot_general(
+                g, tab, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ) & 1).astype(jnp.int8)
+
+        return jax.lax.fori_loop(0, K, body, tab0)
+
+    def reset(self, key, B, difficulty, scramble_override=None,
+              rotations_override=None) -> PauliEnvState:
+        state = self._fresh(B)
+        k_rot, k_tab, k_perm = jax.random.split(key, 3)
+        diff_arr = jnp.full((B,), jnp.asarray(difficulty, jnp.int32))
+        pauli_difficulty = diff_arr // self.pauli_diff_scale
+
+        if rotations_override is not None:
+            rx, rz, rphase, valid = rotations_override
+        else:
+            rx, rz, rphase, valid = self._generate_rotations(
+                k_rot, B, pauli_difficulty
+            )
+        anti = self._build_anti(rx, rz, valid)
+        tab = self._scramble_tableau(k_tab, B, difficulty)
+
+        # initial trivial sweep (reference pauli.rs:575-576)
+        active, _ = self._cleanup(rx, rz, valid, anti)
+        perm_idx = jax.random.randint(k_perm, (B,), 0, self.num_perms)
+
+        success = self._solved(tab, active)
+        depth = jnp.minimum(
+            self.depth_slope * jnp.asarray(difficulty, jnp.int32),
+            self.max_depth,
+        )
+        return state._replace(
+            tab=tab, rx=rx, rz=rz, rphase=rphase, active=active, anti=anti,
+            perm_idx=perm_idx,
+            depth=jnp.full((B,), depth, jnp.int32),
+            success=success,
+            reward=success.astype(jnp.float32),
+        )
+
+    # ------------------------------------------------------------- state io
+    def set_state(self, tableaus: np.ndarray, rotation_labels) -> PauliEnvState:
+        """Host-side: dense tableau(s) [B, 2n, 2n] + per-env rotation label
+        lists -> device state. Mirrors reference set_state (no initial sweep,
+        depth = max_depth)."""
+        from qiskit_gym_tpu.quantum.pauli import Pauli
+
+        tableaus = np.asarray(tableaus)
+        if tableaus.ndim == 2:
+            tableaus = tableaus[None]
+        B = tableaus.shape[0]
+        n = self.num_qubits
+        state = self._fresh(B)
+        tab = np.tile(np.eye(self.D2, dtype=np.int8), (B, 1, 1))
+        tab[:, : self.dim, : self.dim] = (tableaus != 0).astype(np.int8)
+
+        rx = np.zeros((B, self.RT, n), np.int8)
+        rz = np.zeros((B, self.RT, n), np.int8)
+        ph = np.zeros((B, self.RT), np.int8)
+        valid = np.zeros((B, self.RT), bool)
+        for b, labels in enumerate(rotation_labels):
+            for i, lab in enumerate(labels[: self.R]):
+                p = Pauli.from_label(lab)
+                rx[b, i] = p.x
+                rz[b, i] = p.z
+                ph[b, i] = p.phase
+                valid[b, i] = True
+
+        rx_j, rz_j, valid_j = jnp.asarray(rx), jnp.asarray(rz), jnp.asarray(valid)
+        anti = self._build_anti(rx_j, rz_j, valid_j)
+        tab_j = jnp.asarray(tab)
+        success = self._solved(tab_j, valid_j)
+        return state._replace(
+            tab=tab_j, rx=rx_j, rz=rz_j, rphase=jnp.asarray(ph),
+            active=valid_j, anti=anti,
+            depth=jnp.full(B, self.max_depth, jnp.int32),
+            success=success,
+            reward=success.astype(jnp.float32),
+        )
+
+    # -------------------------------------------------------------- observe
+    def dense(self, state: PauliEnvState) -> jnp.ndarray:
+        """uint8 [B, 2n, 2n + R]: permuted tableau block + active rotation
+        columns compacted left (reference pad_and_collect + apply_perm_to_obs)."""
+        n = self.num_qubits
+        B = state.batch
+        tab = state.tab[:, : self.dim, : self.dim]
+        # rotation columns [B, 2n, R] from bits
+        cols = jnp.concatenate(
+            [jnp.swapaxes(state.rx, 1, 2), jnp.swapaxes(state.rz, 1, 2)], axis=1
+        )
+        # stable left-compaction of active columns: sel[r, dst] one-hot
+        pos = jnp.cumsum(state.active.astype(jnp.int32), axis=-1) - 1  # [B, R]
+        dst = jnp.arange(self.R)
+        sel = (pos[:, :, None] == dst[None, None, :]) & state.active[:, :, None]
+        cols = jax.lax.dot_general(
+            cols.astype(jnp.int32), sel.astype(jnp.int32),
+            (((2,), (1,)), ((0,), (0,))),
+        ).astype(jnp.int8)                               # [B, 2n, R]
+
+        # automorphism: rows of everything, columns of the tableau only
+        P = self.perm_mats[state.perm_idx][:, : self.dim, : self.dim]
+        tab_p = jax.lax.dot_general(
+            P.astype(jnp.int32), tab.astype(jnp.int32),
+            (((2,), (1,)), ((0,), (0,))),
+        )
+        tab_p = jax.lax.dot_general(
+            tab_p, jnp.swapaxes(P, 1, 2).astype(jnp.int32),
+            (((2,), (1,)), ((0,), (0,))),
+        ).astype(jnp.int8)
+        cols_p = jax.lax.dot_general(
+            P.astype(jnp.int32), cols.astype(jnp.int32),
+            (((2,), (1,)), ((0,), (0,))),
+        ).astype(jnp.int8)
+        return jnp.concatenate([tab_p, cols_p], axis=2).astype(jnp.uint8)
+
+    def observe(self, state: PauliEnvState, dtype=jnp.float32) -> jnp.ndarray:
+        return self.dense(state).astype(dtype)
+
+    def masks(self, state: PauliEnvState) -> jnp.ndarray:
+        return jnp.broadcast_to(
+            (~state.success)[:, None], (state.batch, self.num_actions)
+        )
+
+    def is_final(self, state: PauliEnvState) -> jnp.ndarray:
+        return (state.depth == 0) | state.success

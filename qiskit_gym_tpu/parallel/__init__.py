@@ -1,0 +1,6 @@
+"""Device-mesh sharding: env batch data-parallel over ICI, policy params
+optionally tensor-sharded over a model axis."""
+
+from .mesh import make_mesh, shard_env_state, shard_params, replicate
+
+__all__ = ["make_mesh", "shard_env_state", "shard_params", "replicate"]

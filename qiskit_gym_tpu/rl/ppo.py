@@ -29,11 +29,12 @@ from .solve import policy_solve
 
 class PPO:
     def __init__(self, env, policy: PolicyBundle, config: PPOConfig,
-                 params: Optional[dict] = None, seed: int = 0):
+                 params: Optional[dict] = None, seed: int = 0, mesh=None):
         self.env = env                      # user-facing gym (has .core, .difficulty)
         self.core = env.core
         self.policy = policy
         self.config = config
+        self.mesh = mesh                    # optional jax.sharding.Mesh (dp[, mp])
         self.key = jax.random.key(seed)
         self.params = params if params is not None else policy.init(
             jax.random.key(seed + 1)
@@ -89,6 +90,11 @@ class PPO:
         def train_step(params, opt_state, key, difficulty):
             k_reset, k_roll = jax.random.split(key)
             state = self.core.reset(k_reset, B, difficulty)
+            if self.mesh is not None:
+                from qiskit_gym_tpu.parallel import shard_env_state, shard_params
+
+                state = shard_env_state(self.mesh, state)
+                params = shard_params(self.mesh, params)
             final_state, traj = collect(
                 self.core, self.policy.apply, params, state, k_roll, T
             )

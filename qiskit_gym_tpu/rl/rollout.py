@@ -19,7 +19,9 @@ import jax.numpy as jnp
 
 class Trajectory(NamedTuple):
     obs: jnp.ndarray        # [T, B, *obs_shape]
-    action: jnp.ndarray     # [T, B] int32
+    action: jnp.ndarray     # [T, B] int32 (policy action space)
+    actual: jnp.ndarray     # [T, B] int32 env-frame action (after symmetry
+    #                         un-permutation; == action for most envs)
     logp: jnp.ndarray       # [T, B]
     value: jnp.ndarray      # [T, B]
     reward: jnp.ndarray     # [T, B]
@@ -41,23 +43,41 @@ def sample_action(key, logits, masks, deterministic: bool):
 def collect(core, policy_apply, params, state, key, T: int,
             deterministic: bool = False):
     """Roll out T steps from `state` (already reset). Returns (final_state,
-    Trajectory)."""
+    Trajectory).
 
-    def step_fn(carry, _):
-        env_state, k = carry
-        k, k_act, k_step = jax.random.split(k, 3)
+    All per-step randomness (action sampling via Gumbel-max, inversion
+    coin-flips, per-step keys for env-internal draws) is pregenerated in
+    three bulk PRNG calls before the scan: per-step threefry key chains are
+    serial and cost as much as the env step itself on TPU (measured)."""
+    B = state.depth.shape[0]
+    A = core.num_actions
+    k_g, k_f, k_s = jax.random.split(key, 3)
+    gumbel = (jnp.zeros((T, B, A)) if deterministic
+              else jax.random.gumbel(k_g, (T, B, A)))
+    if getattr(core, "add_inverts", False):
+        flips = jax.random.bernoulli(k_f, 0.5, (T, B))
+    else:
+        flips = jnp.zeros((T, B), bool)
+    step_keys = jax.random.split(k_s, T)
+
+    def step_fn(env_state, xs):
+        g_t, flip_t, key_t = xs
         obs = core.dense(env_state)  # uint8 — 4x cheaper to store than f32
         logits, value = policy_apply(params, obs)
         masks = core.masks(env_state)
-        action = sample_action(k_act, logits, masks, deterministic)
-        logp_all = jax.nn.log_softmax(
-            jnp.where(masks, logits, jnp.finfo(logits.dtype).min), axis=-1
-        )
+        neg = jnp.finfo(logits.dtype).min
+        masked = jnp.where(masks, logits, neg)
+        action = jnp.argmax(masked + g_t, axis=-1)
+        logp_all = jax.nn.log_softmax(masked, axis=-1)
         logp = jnp.take_along_axis(logp_all, action[:, None], axis=-1)[:, 0]
 
         live = ~core.is_final(env_state)
         inverted = env_state.inverted
-        stepped = core.step(env_state, action, k_step)
+        actual = (core.translate_action(env_state, action)
+                  if hasattr(core, "translate_action") else action)
+        stepped = core.step(env_state, action, key_t,
+                            invert_override=flip_t
+                            if getattr(core, "add_inverts", False) else None)
         new_state = jax.tree.map(
             lambda new, old: jnp.where(
                 live.reshape(live.shape + (1,) * (new.ndim - 1)), new, old
@@ -67,13 +87,15 @@ def collect(core, policy_apply, params, state, key, T: int,
         reward = jnp.where(live, new_state.reward, 0.0)
         done = core.is_final(new_state)
         tr = Trajectory(
-            obs=obs, action=action, logp=logp, value=value, reward=reward,
-            valid=live, done=done, inverted=inverted,
+            obs=obs, action=action, actual=actual, logp=logp, value=value,
+            reward=reward, valid=live, done=done, inverted=inverted,
             success=jnp.zeros_like(live),  # filled after scan
         )
-        return (new_state, k), tr
+        return new_state, tr
 
-    (final_state, _), traj = jax.lax.scan(step_fn, (state, key), None, length=T)
+    final_state, traj = jax.lax.scan(
+        step_fn, state, (gumbel, flips, step_keys), length=T
+    )
     traj = traj._replace(success=final_state.success)
     return final_state, traj
 

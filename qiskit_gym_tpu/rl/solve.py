@@ -1,13 +1,12 @@
 """Batched policy-guided solve: N independent rollouts from one target state,
 best successful solution wins.
 
-Mirrors the reference solve path (reference rl/synthesis.py:112-126 →
+Mirrors the reference solve path (reference rl/synthesis.py:112-126 ->
 twisterl solve): set_state -> num_searches parallel episodes -> pick the best
-success. "Best" = fewest 2q gates, then fewest gates, then shortest — the
-env's own metric counters are used for ranking. Solution reconstruction
-honours the env's inversion bookkeeping: actions recorded while the state was
-inverted are appended in reverse (valid because all phase-less gates are
-involutions; reference permutation.rs:251-256).
+success. "Best" = fewest 2q gates, then fewest gates, then shortest — ranked
+by the env's own metric counters. Reconstruction goes through the gym's
+solution_from_trace hook (inversion bookkeeping for the matrix envs,
+host-side spec replay with packed rotation events for the Pauli env).
 """
 
 from __future__ import annotations
@@ -16,9 +15,21 @@ from typing import List, Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from .rollout import collect
+
+
+def best_lane(final_state, traj) -> Optional[int]:
+    success = np.asarray(final_state.success)
+    if not success.any():
+        return None
+    n_cnots = np.asarray(final_state.n_cnots)
+    n_gates = np.asarray(final_state.n_gates)
+    lengths = np.asarray(traj.valid).sum(axis=0)
+    candidates = np.flatnonzero(success)
+    return int(sorted(
+        candidates, key=lambda s: (n_cnots[s], n_gates[s], lengths[s])
+    )[0])
 
 
 def policy_solve(
@@ -31,9 +42,7 @@ def policy_solve(
     key: Optional[jax.Array] = None,
 ) -> Optional[List[int]]:
     core = env.core
-    single = env.encoded_to_dense(state_encoded)
-    batch = np.repeat(single[None], num_searches, axis=0)
-    state = core.set_state(batch)
+    state = env.make_solve_state(state_encoded, num_searches)
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
 
@@ -43,25 +52,11 @@ def policy_solve(
                              deterministic=deterministic)
     )(state, key)
 
-    success = np.asarray(final_state.success)
-    if not success.any():
+    best = best_lane(final_state, traj)
+    if best is None:
         return None
-    n_cnots = np.asarray(final_state.n_cnots)
-    n_gates = np.asarray(final_state.n_gates)
-    actions = np.asarray(traj.action)       # [T, S]
-    valid = np.asarray(traj.valid)          # [T, S]
-    inverted = np.asarray(traj.inverted)    # [T, S]
-    lengths = valid.sum(axis=0)
-
-    candidates = np.flatnonzero(success)
-    order = sorted(
-        candidates,
-        key=lambda s: (n_cnots[s], n_gates[s], lengths[s]),
-    )
-    best = int(order[0])
-
-    normal = [int(a) for a, v, inv in zip(actions[:, best], valid[:, best],
-                                          inverted[:, best]) if v and not inv]
-    flipped = [int(a) for a, v, inv in zip(actions[:, best], valid[:, best],
-                                           inverted[:, best]) if v and inv]
-    return normal + flipped[::-1]
+    valid = np.asarray(traj.valid)[:, best]
+    actions = np.asarray(traj.actual)[:, best][valid]
+    inverted = np.asarray(traj.inverted)[:, best][valid]
+    return env.solution_from_trace(state_encoded, actions.tolist(),
+                                   inverted.tolist())

@@ -146,8 +146,16 @@ class PauliNetwork:
             return "Z"
         raise ValueError("Rotation column has no support on the given qubit")
 
-    def clean_and_return_with_phases(self) -> List[Tuple[str, int, int]]:
-        events: List[Tuple[str, int, int]] = []
+    def clean_and_return_with_phases(self) -> List[Tuple[str, int, int, int]]:
+        """Front-layer sweep removing trivial rotations.
+
+        Events are (axis, qubit, rotation_index, phase_mult) with the phase
+        read AT EXTRACTION TIME. (The reference reads the phase after the
+        enclosing composite gate finishes — rust pauli.rs:616-626 — which is
+        wrong for a Y extracted inside CZ/SWAP, where the closing H flips its
+        sign; circuit reconstruction places the rotation at the extraction
+        point, so the extraction-time phase is the correct one.)"""
+        events: List[Tuple[str, int, int, int]] = []
         removed = True
         while removed:
             removed = False
@@ -156,7 +164,8 @@ class PauliNetwork:
                 if self.is_trivial(rindex):
                     q = self.which_qubit(rindex)
                     axis = self.which_axis(rindex, q)
-                    events.append((axis, q, rindex))
+                    mult = -1 if self.rotation_qk[rindex].coeff_phase() == 2 else 1
+                    events.append((axis, q, rindex, mult))
                     to_remove.append(rindex)
                     self._col(rindex)[:] = 0
                     removed = True
@@ -458,9 +467,7 @@ class PauliSpecEnv(BaseSpecEnv):
             new_rotations = len(events)
             if self._track_solution:
                 self._solution.append(action)
-                for axis, qubit, ridx in events:
-                    phase = self.network.rotation_qk[ridx].coeff_phase()
-                    phase_mult = -1 if phase == 2 else 1
+                for axis, qubit, ridx, phase_mult in events:
                     self._solution.append(encode_rotation(axis, qubit, ridx, phase_mult))
         self.depth = max(self.depth - 1, 0)
         self.success = self.solved()

@@ -220,7 +220,7 @@ def test_permutation_env_trace_matches_spec():
             if not was_final[b]:
                 s.step(int(actions[b]), invert=bool(flips[b]))
         compare(core, state, specs)
-        got_s = np.asarray(state.s)
+        got_s = np.asarray(core.perm_vector(state))
         for b, s in enumerate(specs):
             assert np.array_equal(got_s[b], s.get_state()), f"lane {b} perm"
 

@@ -1,0 +1,183 @@
+"""Pauli-network env tests: batched core vs spec traces, and the full
+synthesis round-trip checked against the statevector oracle."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qiskit_gym_tpu.envs import PauliGym
+from qiskit_gym_tpu.quantum import (
+    Circuit,
+    allclose_up_to_global_phase,
+    circuit_unitary,
+)
+from qiskit_gym_tpu.rl import BasicPolicyConfig, EvalConfig, PPOConfig, RLSynthesis
+from qiskit_gym_tpu.spec import PauliSpecEnv
+
+LINE_3 = [(0, 1), (1, 2)]
+
+
+def make_gym(n=3, **kw):
+    kw.setdefault("max_depth", 24)
+    kw.setdefault("max_rotations", 4)
+    return PauliGym.from_coupling_map(
+        [(i, i + 1) for i in range(n - 1)],
+        basis_gates=("H", "S", "Sdg", "SX", "SXdg", "CX", "CZ", "SWAP"),
+        **kw,
+    )
+
+
+def encoded_target(n=3, seed=0):
+    """A random Clifford+rotations circuit and its encoded state."""
+    rng = np.random.default_rng(seed)
+    qc = Circuit(n)
+    gates_1q = ["h", "s", "sdg", "sx"]
+    for _ in range(6):
+        r = rng.random()
+        if r < 0.4 and n > 1:
+            a, b = rng.choice(n, 2, replace=False)
+            qc.cx(int(a), int(b))
+        elif r < 0.7:
+            qc.append(gates_1q[rng.integers(4)], (int(rng.integers(n)),))
+        else:
+            axis = ["rx", "ry", "rz"][rng.integers(3)]
+            qc.append(axis, (int(rng.integers(n)),),
+                      (float(rng.uniform(-2, 2)),))
+    if not any(g[0] in ("rx", "ry", "rz") for g in qc):
+        qc.rz(0.7, 0)
+    return qc
+
+
+# ------------------------------------------------------------- trace vs spec
+
+
+def test_pauli_core_trace_matches_spec():
+    gym = make_gym(3, add_perms=False)
+    core = gym.core
+    rng = np.random.default_rng(5)
+    for seed in range(4):
+        target = encoded_target(3, seed=seed + 10)
+        enc = gym.get_state(target)
+        spec = PauliSpecEnv(
+            3, 1, gym.gateset, 2, 24, max_rotations=4, add_perms=False
+        )
+        spec.set_state(list(enc))
+        state = gym.make_solve_state(enc, 1)
+
+        step = jax.jit(core.step)
+        key = jax.random.key(seed)
+        for t in range(16):
+            if spec.is_final():
+                break
+            a = int(rng.integers(core.num_actions))
+            spec.step(a)
+            key, sub = jax.random.split(key)
+            state = step(state, jnp.asarray([a]), sub)
+
+            # dense obs must match exactly (identity perm)
+            want = np.zeros(np.prod(spec.obs_shape()), dtype=np.int8)
+            want[spec.observe(perm_idx=0)] = 1
+            want = want.reshape(spec.obs_shape())
+            got = np.asarray(core.dense(state))[0]
+            assert np.array_equal(got, want), f"seed {seed} step {t} obs"
+            assert bool(np.asarray(state.success)[0]) == spec.success
+            assert int(np.asarray(state.depth)[0]) == spec.depth
+            assert abs(float(np.asarray(state.reward)[0]) - spec.reward()) < 1e-5, (
+                seed, t)
+
+
+def test_pauli_perm_translation_consistent():
+    """With symmetry on, stepping with a policy-frame action must equal the
+    spec env driven with the same perm_idx + action."""
+    gym = make_gym(3, add_perms=True)
+    core = gym.core
+    assert core.num_perms == len(gym.spec.qubit_perms)
+    target = encoded_target(3, seed=3)
+    enc = gym.get_state(target)
+    spec = PauliSpecEnv(3, 1, gym.gateset, 2, 24, max_rotations=4,
+                        add_perms=True)
+    spec.set_state(list(enc))
+    state = gym.make_solve_state(enc, 1)
+    rng = np.random.default_rng(0)
+    step = jax.jit(core.step)
+    key = jax.random.key(9)
+    for t in range(8):
+        if spec.is_final():
+            break
+        pidx = int(np.asarray(state.perm_idx)[0])
+        a = int(rng.integers(core.num_actions))
+        spec.observe(perm_idx=pidx)       # aligns spec's active perm
+        spec.step(a)
+        key, sub = jax.random.split(key)
+        state = step(state, jnp.asarray([a]), sub)
+        want = np.zeros(np.prod(spec.obs_shape()), dtype=np.int8)
+        want[spec.observe(perm_idx=0)] = 1
+        got = np.asarray(core.dense(
+            state._replace(perm_idx=jnp.zeros(1, jnp.int32))))[0]
+        assert np.array_equal(got, want.reshape(spec.obs_shape())), t
+
+
+def test_pauli_reset_structure():
+    gym = make_gym(3)
+    core = gym.core
+    state = jax.jit(core.reset, static_argnums=(1, 2))(
+        jax.random.key(0), 64, 24
+    )
+    active = np.asarray(state.active)
+    rx = np.asarray(state.rx)
+    rz = np.asarray(state.rz)
+    # every active rotation is a valid non-identity Pauli
+    w = ((rx | rz).sum(axis=2))
+    assert (w[active] >= 1).all()
+    # active rotations are non-trivial (weight>1) or blocked by an earlier one
+    depth = np.asarray(state.depth)
+    assert (depth == np.minimum(2 * 24, core.max_depth)).all()
+    # some lanes should have rotations at difficulty 24 (24//8 = 3 budget)
+    assert active.any()
+
+
+def test_pauli_gym_obs_shape_and_json():
+    gym = make_gym(3)
+    assert gym.obs_shape() == [6, 6 + 4]
+    blob = gym.to_json()
+    gym2 = PauliGym.from_json(blob)
+    assert gym2.gateset == gym.gateset
+    assert gym2.config["max_rotations"] == 4
+
+
+# -------------------------------------------------------- synthesis roundtrip
+
+
+def _try_synth_roundtrip(target, gym, rls, searches=256):
+    out = rls.synth(target, num_searches=searches)
+    if out is None:
+        return None
+    u_out = circuit_unitary(out)
+    u_tgt = circuit_unitary(target)
+    return allclose_up_to_global_phase(u_out, u_tgt)
+
+
+def test_pauli_synth_unitary_exact():
+    """End-to-end: encode a Clifford+rotation circuit, solve with random
+    search, rebuild with rotation decoding + phase correction, compare
+    unitaries. Exercises every convention (transposed cnot, rotation phases,
+    Clifford correction)."""
+    gym = make_gym(2, max_depth=12, max_rotations=3)
+    cfg = PPOConfig(num_episodes=8, num_epochs=1,
+                    evals={"ppo_deterministic": EvalConfig(num_episodes=4)})
+    rls = RLSynthesis(gym, cfg, BasicPolicyConfig(embedding_size=32,
+                                                  common_layers=[16]))
+    hits = 0
+    for seed in range(8):
+        target = Circuit(2)
+        if seed % 2 == 0:
+            target.h(0).cx(0, 1).rz(0.5 + 0.1 * seed, 1)
+        else:
+            target.rx(0.3 * (seed + 1), 0).s(1).cx(1, 0)
+        ok = _try_synth_roundtrip(target, gym, rls, searches=512)
+        if ok is None:
+            continue
+        hits += 1
+        assert ok, f"seed {seed}: synthesized unitary mismatch"
+    assert hits > 0, "no Pauli synthesis succeeded (stochastic search)"
