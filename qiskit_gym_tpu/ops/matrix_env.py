@@ -92,6 +92,69 @@ def gate_matrix(gate: Gate, num_qubits: int, kind: str, D: int) -> np.ndarray:
     return G
 
 
+def gate_rank2_terms(gate: Gate, num_qubits: int, kind: str, D: int):
+    """Decompose the gate's GF(2) matrix as G = I xor U S (U: [D, 2] dest
+    one-hot combos, S: [2, D] source selectors).
+
+    Every phase-less gate is <= 2 elementary terms: a row-XOR `d ^= s` is
+    (e_d, e_s); a row swap (r1, r2) is (e_r1+e_r2, e_r1+e_r2). The state
+    update then reads/writes each matrix exactly once:
+        M'    = (M + U (S M)) & 1          (left-multiply by G)
+        Minv' = (Minv + (Minv U) S) & 1    (right-multiply by G = G^-1)
+    instead of gathering and multiplying full D x D gate matrices.
+    """
+    n = num_qubits
+    U = np.zeros((D, 2), np.int8)
+    S = np.zeros((2, D), np.int8)
+    terms = []
+    name, qs = gate
+
+    def xor(d, s):
+        terms.append(("x", d, s))
+
+    def swap(r1, r2):
+        terms.append(("s", r1, r2))
+
+    if kind == "permutation":
+        if name == "SWAP":
+            swap(qs[0], qs[1])
+    elif kind == "linear":
+        if name == "CX":
+            xor(qs[1], qs[0])
+        elif name == "SWAP":
+            swap(qs[0], qs[1])
+    elif kind == "clifford":
+        if name == "H":
+            swap(qs[0], n + qs[0])
+        elif name in ("S", "Sdg"):
+            xor(n + qs[0], qs[0])
+        elif name in ("SX", "SXdg"):
+            xor(qs[0], n + qs[0])
+        elif name == "CX":
+            c, t = qs
+            xor(t, c)
+            xor(n + c, n + t)
+        elif name == "CZ":
+            a, b = qs
+            xor(n + a, b)
+            xor(n + b, a)
+        elif name == "SWAP":
+            a, b = qs
+            swap(a, b)
+            swap(n + a, n + b)
+    else:
+        raise ValueError(f"Unknown env kind {kind!r}")
+
+    for k, (tt, i, j) in enumerate(terms):
+        if tt == "x":
+            U[i, k] = 1
+            S[k, j] = 1
+        else:
+            U[i, k] = U[j, k] = 1
+            S[k, i] = S[k, j] = 1
+    return U, S
+
+
 class MatrixEnvState(NamedTuple):
     a: jnp.ndarray         # int8 [B, D, D]   current matrix
     ainv: jnp.ndarray      # int8 [B, D, D]   its inverse
@@ -139,8 +202,10 @@ class MatrixEnvCore:
             MetricsWeights.from_dict(metrics_weights).as_array()
         )
 
-        # gate stack; index A (one past the end) is the identity no-op used
-        # for masked scramble steps
+        # gate-matrix stack; index A (one past the end) is the identity
+        # no-op used for masked scramble steps. (A rank-2 I + U S^T update
+        # formulation was tried and measured slower: K=2 contractions starve
+        # the MXU; the full D x D batched GEMM wins.)
         stack = np.stack(
             [gate_matrix(g, self.num_qubits, kind, self.D) for g in self.gateset]
             + [np.eye(self.D, dtype=np.uint8)]
@@ -165,17 +230,20 @@ class MatrixEnvCore:
 
     # ------------------------------------------------------- matrix updates
     def apply_gates(self, a, ainv, action):
-        """One batched MXU step: a' = (G[act] @ a) & 1, ainv' = (ainv @ G[act]) & 1."""
+        """One batched MXU step: a' = (G[act] @ a) & 1 (left-mult),
+        ainv' = (ainv @ G[act]) & 1 (right-mult by G = G^-1). Accumulation in
+        int8 is exact (row sums <= D <= 127) and halves the epilogue traffic
+        vs int32."""
         g = self.gates[action]  # [B, D, D] int8
         new_a = jax.lax.dot_general(
             g, a, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=jnp.int8,
         ) & 1
         new_ainv = jax.lax.dot_general(
             ainv, g, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=jnp.int8,
         ) & 1
-        return new_a.astype(jnp.int8), new_ainv.astype(jnp.int8)
+        return new_a, new_ainv
 
     def _solved(self, a) -> jnp.ndarray:
         return jnp.all(a == self.ident[None], axis=(1, 2))
