@@ -211,8 +211,17 @@ class PPO:
         max_expand_depth: int = 1,
     ):
         """Policy-guided search from an encoded target state; returns the best
-        solution's action list, or None. (num_mcts_searches > 0 upgrades to
-        batched MCTS once the AZ engine is wired here.)"""
+        solution's action list, or None. num_mcts_searches > 0 runs batched
+        MCTS per decision (reference EvalConfig semantics, configs.py:25-35)."""
+        if num_mcts_searches > 0:
+            from .az import mcts_solve
+
+            return mcts_solve(
+                self.env, self.policy, self.params, state,
+                num_searches=num_searches,
+                num_mcts_searches=num_mcts_searches, C=C,
+                deterministic=deterministic,
+            )
         return policy_solve(
             self.env, self.policy, self.params, state,
             deterministic=deterministic, num_searches=num_searches,

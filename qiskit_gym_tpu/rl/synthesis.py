@@ -15,7 +15,7 @@ from typing import Optional, Union
 
 from qiskit_gym_tpu.envs.synthesis import SYNTH_ENVS, BaseSynthesisEnv
 from qiskit_gym_tpu.models import make_policy
-from qiskit_gym_tpu.models.torch_io import load_torch_checkpoint, save_torch_checkpoint
+from qiskit_gym_tpu.utils.serialization import load_params, save_params
 from qiskit_gym_tpu.quantum import Circuit
 
 from .configs import ALGORITHMS, POLICIES, AlphaZeroConfig, PPOConfig
@@ -60,7 +60,7 @@ class RLSynthesis:
             obs_perms=obs_perms,
             act_perms=act_perms,
         )
-        params = load_torch_checkpoint(model_path) if model_path else None
+        params = load_params(model_path) if model_path else None
         algorithm_cls = _algorithm_class(self.rl_config.algorithm_cls)
         return algorithm_cls(self.env, policy, self.rl_config, params=params,
                              seed=self.seed)
@@ -113,7 +113,7 @@ class RLSynthesis:
         with open(config_path, "w") as f:
             json.dump(self.to_json(), f, indent=2)
         if model_path is not None:
-            save_torch_checkpoint(self.algorithm.params, model_path)
+            save_params(self.algorithm.params, model_path)
 
     # ----------------------------------------------------------------- use
     def synth(

@@ -181,3 +181,34 @@ def test_pauli_synth_unitary_exact():
         hits += 1
         assert ok, f"seed {seed}: synthesized unitary mismatch"
     assert hits > 0, "no Pauli synthesis succeeded (stochastic search)"
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    """flax-msgpack checkpoint format round-trips (non-.pt extension)."""
+    import jax
+
+    from qiskit_gym_tpu.utils.serialization import load_params, save_params
+    from qiskit_gym_tpu.models import make_policy
+
+    policy = make_policy("qiskit_gym_tpu.models.BasicPolicy", (3, 3), 4,
+                         {"embedding_size": 8, "common_layers": [4]})
+    params = policy.init(jax.random.key(0))
+    path = str(tmp_path / "ckpt.msgpack")
+    save_params(params, path)
+    loaded = load_params(path, template=params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_pauli_ppo_learn_smoke():
+    """PauliGym trains end-to-end through the batched core (2 iterations)."""
+    from qiskit_gym_tpu.rl import RLSynthesis
+
+    gym = make_gym(3, max_depth=16, max_rotations=3)
+    cfg = PPOConfig(num_episodes=16, num_epochs=2,
+                    evals={"ppo_deterministic": EvalConfig(num_episodes=8)})
+    rls = RLSynthesis(gym, cfg, BasicPolicyConfig(embedding_size=32,
+                                                  common_layers=[16]))
+    rls.learn(initial_difficulty=8, num_iterations=2)
+    # difficulty 8 -> pauli budget 1: rotations likely present; train ran
+    assert rls.algorithm.iteration == 2

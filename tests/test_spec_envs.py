@@ -272,3 +272,26 @@ def test_masks_and_shapes():
     assert env.obs_shape() == [2 * n, 2 * n]
     assert len(env.masks()) == len(gs)
     assert env.num_actions() == len(gs)
+
+
+# ------------------------------------------------------------- native (C++)
+
+
+def test_native_automorphisms_match_python():
+    """C++ VF2 (csrc/) agrees with the pure-Python fallback."""
+    import pytest as _pytest
+
+    from qiskit_gym_tpu.spec.symmetry import _python_automorphisms, _adjacency
+    from qiskit_gym_tpu.utils.native import graph_automorphisms
+
+    n = 9
+    grid = [(r * 3 + c, r * 3 + c + 1) for r in range(3) for c in range(2)]
+    grid += [(r * 3 + c, (r + 1) * 3 + c) for r in range(2) for c in range(3)]
+    gs = parse_gateset([("SWAP", e) for e in grid])
+    adj = _adjacency(n, gs)
+    native = graph_automorphisms(n, adj)
+    if native is None:
+        _pytest.skip("native library not built")
+    python = _python_automorphisms(n, adj)
+    assert native == python
+    assert len(native) == 8  # dihedral group of the 3x3 grid
