@@ -38,9 +38,12 @@ class AZTrajectory(NamedTuple):
 def collect_mcts(core, policy_apply, params, state, key, T: int,
                  num_sims: int, c_puct: float, deterministic: bool = False,
                  temperature: float = 1.0):
-    def step_fn(carry, _):
-        env_state, k = carry
-        k, k_sim, k_act, k_step = jax.random.split(k, 4)
+    # pregenerate per-step keys (serial per-step threefry chains are
+    # expensive on TPU; see rl/rollout.collect)
+    step_keys = jax.random.split(key, 3 * T).reshape(T, 3)
+
+    def step_fn(env_state, keys_t):
+        k_sim, k_act, k_step = keys_t[0], keys_t[1], keys_t[2]
         obs = core.dense(env_state)
         visits, root_value, _priors = mcts_search(
             core, policy_apply, params, env_state, k_sim,
@@ -71,9 +74,9 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
             valid=live,
             success=jnp.zeros_like(live),
         )
-        return (new_state, k), tr
+        return new_state, tr
 
-    (final_state, _), traj = jax.lax.scan(step_fn, (state, key), None, length=T)
+    final_state, traj = jax.lax.scan(step_fn, state, step_keys, length=T)
     traj = traj._replace(success=final_state.success)
     return final_state, traj
 
@@ -98,7 +101,16 @@ class AZ:
         self._train_cache: Dict[tuple, callable] = {}
         self._eval_cache: Dict[tuple, callable] = {}
 
+    # When True, rollouts always use the max_depth horizon so the jitted
+    # train/eval programs compile once instead of once per difficulty level
+    # (episodes still end at their depth budget via the env's done flags;
+    # the extra scan steps are frozen lanes). Useful where XLA compiles are
+    # expensive; semantics are unchanged.
+    fixed_horizon: bool = False
+
     def _horizon(self, difficulty: int) -> int:
+        if self.fixed_horizon:
+            return self.core.max_depth
         return max(min(self.core.depth_slope * difficulty, self.core.max_depth), 1)
 
     def _loss(self, params, traj: AZTrajectory, returns):

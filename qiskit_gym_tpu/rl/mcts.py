@@ -100,9 +100,11 @@ def mcts_search(
 
     bidx = jnp.arange(B)
 
+    sim_keys = jax.random.split(key, num_sims)
+
     def simulate(sim, carry):
         tree, key = carry
-        key, k_step = jax.random.split(key)
+        k_step = sim_keys[sim]
 
         # ---- SELECT: descend by PUCT until an unexpanded child or terminal
         def select_body(d, sel):

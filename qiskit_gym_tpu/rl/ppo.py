@@ -48,7 +48,16 @@ class PPO:
         self._eval_cache: Dict[tuple, callable] = {}
 
     # ------------------------------------------------------------ internals
+    # When True, rollouts always use the max_depth horizon so the jitted
+    # train/eval programs compile once instead of once per difficulty level
+    # (episodes still end at their depth budget via the env's done flags;
+    # the extra scan steps are frozen lanes). Useful where XLA compiles are
+    # expensive; semantics are unchanged.
+    fixed_horizon: bool = False
+
     def _horizon(self, difficulty: int) -> int:
+        if self.fixed_horizon:
+            return self.core.max_depth
         return max(min(self.core.depth_slope * difficulty, self.core.max_depth), 1)
 
     def _loss(self, params, traj: Trajectory, adv, returns):
