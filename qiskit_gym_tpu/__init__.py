@@ -25,3 +25,23 @@ utils     serialization (JSON config + checkpoints), logging.
 """
 
 __version__ = "0.1.0"
+
+# Convenience top-level surface
+from qiskit_gym_tpu.envs import (  # noqa: E402,F401
+    CliffordGym,
+    LinearFunctionGym,
+    PauliGym,
+    PermutationGym,
+    SYNTH_ENVS,
+    gym_adapter,
+)
+from qiskit_gym_tpu.rl import (  # noqa: E402,F401
+    ALGORITHMS,
+    POLICIES,
+    AlphaZeroConfig,
+    BasicPolicyConfig,
+    Conv1dPolicyConfig,
+    EvalConfig,
+    PPOConfig,
+    RLSynthesis,
+)

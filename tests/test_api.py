@@ -177,3 +177,19 @@ def test_rlsynthesis_synth_linear_function():
     if out is None:
         pytest.skip("search did not find a solution (stochastic)")
     assert np.array_equal(linear_from_circuit(out), linear_from_circuit(target))
+
+
+def test_conv1d_policy_trains():
+    from qiskit_gym_tpu.rl import Conv1dPolicyConfig
+
+    env = LinearFunctionGym.from_coupling_map(LINE_3, max_depth=16)
+    rls = RLSynthesis(env, small_ppo(8),
+                      Conv1dPolicyConfig(embedding_size=32, common_layers=[16]))
+    rls.learn(initial_difficulty=1, num_iterations=1)
+    assert rls.algorithm.iteration == 1
+
+
+def test_top_level_exports():
+    import qiskit_gym_tpu as q
+
+    assert hasattr(q, "RLSynthesis") and hasattr(q, "PermutationGym")

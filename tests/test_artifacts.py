@@ -1,0 +1,56 @@
+"""Shipped pretrained artifacts load and solve (skipped if absent)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from qiskit_gym_tpu.quantum import (
+    Circuit,
+    allclose_up_to_global_phase,
+    circuit_unitary,
+    linear_from_circuit,
+    permutation_pattern,
+)
+from qiskit_gym_tpu.rl import RLSynthesis
+
+MODELS = os.path.join(os.path.dirname(__file__), "..", "examples", "models")
+
+
+def _load(name):
+    cfg = os.path.join(MODELS, name + ".json")
+    pt = os.path.join(MODELS, name + ".pt")
+    if not (os.path.exists(cfg) and os.path.exists(pt)):
+        pytest.skip(f"artifact {name} not present")
+    return RLSynthesis.from_config_json(cfg, pt)
+
+
+def test_perm_grid_artifact():
+    rls = _load("perm_grid_3x3")
+    pattern = [1, 0, 2, 3, 4, 5, 6, 7, 8]
+    out = rls.synth(pattern, deterministic=True, num_searches=1)
+    if out is None:
+        out = rls.synth(pattern, num_searches=16)
+    assert out is not None
+    assert permutation_pattern(linear_from_circuit(out)).tolist() == pattern
+
+
+def test_lf_line_artifact():
+    rls = _load("lf_5_line")
+    gs = rls.env.gateset
+    # target composed from the env's own gateset (guaranteed in-group)
+    target = Circuit(5)
+    for name, qs in [gs[0], gs[2], gs[1], gs[3]]:
+        target.cx(*qs)
+    out = rls.synth(target, num_searches=32)
+    assert out is not None
+    assert np.array_equal(linear_from_circuit(out), linear_from_circuit(target))
+
+
+def test_clifford_line_artifact():
+    rls = _load("clifford_3q_line")
+    target = Circuit(3).h(0).cx(0, 1).s(1)
+    out = rls.synth(target, num_searches=64)
+    assert out is not None
+    assert allclose_up_to_global_phase(circuit_unitary(out),
+                                       circuit_unitary(target))
