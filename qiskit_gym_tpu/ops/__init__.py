@@ -20,7 +20,7 @@ rust/src/envs/*.rs, re-derived — not translated):
 """
 
 from .bitops import pack_bits, unpack_bits, bit_transpose, packed_identity
-from .tables import GateTables, MetricsTables
+from .tables import MetricsTables
 from .matrix_env import MatrixEnvCore, MatrixEnvState
 from .permutation import PermutationEnvCore, PermutationEnvState
 from .pauli import PauliEnvCore, PauliEnvState
@@ -30,7 +30,6 @@ __all__ = [
     "unpack_bits",
     "bit_transpose",
     "packed_identity",
-    "GateTables",
     "MetricsTables",
     "MatrixEnvCore",
     "MatrixEnvState",

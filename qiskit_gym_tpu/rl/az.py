@@ -47,7 +47,10 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
         obs = core.dense(env_state)
         visits, root_value, _priors = mcts_search(
             core, policy_apply, params, env_state, k_sim,
-            num_sims=num_sims, c_puct=c_puct, max_depth=T,
+            num_sims=num_sims, c_puct=c_puct,
+            # tree-depth cap: selection deeper than ~32 is vanishingly rare
+            # and each extra level is a sequential fori iteration per sim
+            max_depth=min(T, 32),
         )
         probs = visits / jnp.maximum(visits.sum(-1, keepdims=True), 1e-8)
         if deterministic:

@@ -12,10 +12,8 @@ vmapped envs replace the reference's 32 CPU actor threads.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Dict, Optional
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import optax

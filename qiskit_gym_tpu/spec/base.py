@@ -20,8 +20,6 @@ from .metrics import MetricsTracker, MetricsWeights
 
 
 class BaseSpecEnv:
-    obs_is_square: bool = True  # n x n observation (Permutation/LinearFunction)
-
     def __init__(
         self,
         num_qubits: int,
