@@ -54,3 +54,14 @@ def test_clifford_line_artifact():
     assert out is not None
     assert allclose_up_to_global_phase(circuit_unitary(out),
                                        circuit_unitary(target))
+
+
+def test_az_perm_grid_artifact():
+    rls = _load("az_perm_grid_3x3")
+    gs = rls.env.gateset
+    pattern = list(range(9))
+    a, b = gs[0][1]
+    pattern[a], pattern[b] = pattern[b], pattern[a]
+    out = rls.synth(pattern, num_searches=4, num_mcts_searches=32)
+    assert out is not None
+    assert permutation_pattern(linear_from_circuit(out)).tolist() == pattern

@@ -1,0 +1,121 @@
+"""The five BASELINE.json configurations, exercised end-to-end (CPU-sized
+search budgets; the full-scale runs live in bench.py / shipped artifacts)."""
+
+import numpy as np
+import pytest
+
+from qiskit_gym_tpu.envs import (
+    CliffordGym,
+    LinearFunctionGym,
+    PauliGym,
+    PermutationGym,
+)
+from qiskit_gym_tpu.quantum import (
+    Circuit,
+    allclose_up_to_global_phase,
+    circuit_unitary,
+    linear_from_circuit,
+    permutation_pattern,
+)
+from qiskit_gym_tpu.rl import (
+    AlphaZeroConfig,
+    BasicPolicyConfig,
+    EvalConfig,
+    PPOConfig,
+    RLSynthesis,
+)
+
+GRID_3X3 = [(0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (7, 8),
+            (0, 3), (3, 6), (1, 4), (4, 7), (2, 5), (5, 8)]
+ALL_TO_ALL_6 = [(i, j) for i in range(6) for j in range(6) if i != j]
+HEAVY_HEX_5 = [(0, 1), (1, 2), (1, 3), (3, 4)]
+
+
+def small_ppo(n=16):
+    return PPOConfig(num_episodes=n, num_epochs=2,
+                     evals={"ppo_deterministic": EvalConfig(num_episodes=8)})
+
+
+def test_config1_perm_3x3_grid_ppo():
+    """README quickstart shape: 3x3 grid SWAP routing."""
+    env = PermutationGym.from_coupling_map(GRID_3X3, max_depth=32)
+    assert env.num_actions() == 12 and env.obs_shape() == [9, 9]
+    rls = RLSynthesis(env, small_ppo(), BasicPolicyConfig(embedding_size=64,
+                                                          common_layers=[32]))
+    rls.learn(initial_difficulty=1, num_iterations=1)
+    pattern = [3, 1, 2, 0, 4, 5, 6, 7, 8]
+    out = rls.synth(pattern, num_searches=64)
+    assert out is not None
+    assert permutation_pattern(linear_from_circuit(out)).tolist() == pattern
+
+
+def test_config2_lf_6q_all_to_all():
+    """6q all-to-all CNOT synthesis (GF(2) bit-matrix state)."""
+    env = LinearFunctionGym.from_coupling_map(ALL_TO_ALL_6, basis_gates=("CX",),
+                                              max_depth=24)
+    assert env.num_actions() == 30
+    rls = RLSynthesis(env, small_ppo(), BasicPolicyConfig(embedding_size=64,
+                                                          common_layers=[32]))
+    target = Circuit(6).cx(0, 3).cx(4, 1)
+    out = rls.synth(target, num_searches=2048)
+    if out is None:
+        pytest.skip("stochastic search missed (untrained policy)")
+    assert np.array_equal(linear_from_circuit(out), linear_from_circuit(target))
+
+
+def test_config3_clifford_5q_heavy_hex_custom_gates():
+    """5q heavy-hex cell with a custom gate set (full stabilizer tableau)."""
+    env = CliffordGym.from_coupling_map(
+        HEAVY_HEX_5, basis_gates=("H", "S", "Sdg", "SX", "CX", "CZ"),
+        max_depth=24,
+    )
+    assert env.obs_shape() == [10, 10]
+    rls = RLSynthesis(env, small_ppo(), BasicPolicyConfig(embedding_size=64,
+                                                          common_layers=[32]))
+    target = Circuit(5).h(1).cz(1, 3)
+    out = rls.synth(target, num_searches=2048)
+    if out is None:
+        pytest.skip("stochastic search missed (untrained policy)")
+    assert allclose_up_to_global_phase(circuit_unitary(out),
+                                       circuit_unitary(target))
+
+
+def test_config4_pauli_network():
+    """Clifford+rotation variational circuits (arXiv:2503.14448 setup)."""
+    env = PauliGym.from_coupling_map(
+        [(0, 1), (1, 2)], max_depth=4, max_rotations=3
+    )
+    rls = RLSynthesis(env, small_ppo(8), BasicPolicyConfig(embedding_size=32,
+                                                           common_layers=[16]))
+    # a bare rotation: extraction requires touching it with a CNOT-bearing
+    # gate and undoing the Clifford — e.g. [CX(a,b), CX(a,b)]
+    target = Circuit(3).rz(0.4, 1)
+    out = rls.synth(target, num_searches=2048)
+    if out is None:
+        pytest.skip("stochastic search missed (untrained policy)")
+    assert allclose_up_to_global_phase(circuit_unitary(out),
+                                       circuit_unitary(target))
+
+
+def test_config5_perm_27q_heavy_hex_mcts():
+    """27q heavy-hex routing with AlphaZero-style MCTS solve (tiny budget
+    here; the shipped perm_heavy_hex_27q artifact validates at 1000 sims)."""
+    HEAVY_HEX_27 = [
+        (0, 1), (1, 2), (1, 4), (2, 3), (3, 5), (4, 7), (5, 8), (6, 7),
+        (7, 10), (8, 9), (8, 11), (10, 12), (11, 14), (12, 13), (12, 15),
+        (13, 14), (14, 16), (15, 18), (16, 19), (17, 18), (18, 21), (19, 20),
+        (19, 22), (21, 23), (22, 25), (23, 24), (24, 25), (25, 26),
+    ]
+    env = PermutationGym.from_coupling_map(HEAVY_HEX_27, max_depth=16)
+    cfg = AlphaZeroConfig(num_episodes=8, num_mcts_searches=16, num_epochs=1,
+                          evals={"mcts_100": EvalConfig(num_episodes=4,
+                                                        num_mcts_searches=8)})
+    rls = RLSynthesis(env, cfg, BasicPolicyConfig(embedding_size=64,
+                                                  common_layers=[32]))
+    # single-swap target: MCTS must find it even untrained
+    q1, q2 = env.gateset[0][1]
+    pattern = list(range(27))
+    pattern[q1], pattern[q2] = pattern[q2], pattern[q1]
+    out = rls.synth(pattern, num_searches=4, num_mcts_searches=32)
+    assert out is not None
+    assert permutation_pattern(linear_from_circuit(out)).tolist() == pattern
