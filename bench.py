@@ -12,6 +12,7 @@ Per-family numbers go to stderr.
 """
 
 import json
+import numpy as np
 import sys
 import time
 
@@ -81,12 +82,17 @@ def main():
     for name, v in results.items():
         print(f"  {name}: {v / 1e6:.2f}M steps/s", file=sys.stderr)
 
-    headline = results["clifford_27q_heavy_hex"]
+    vals = list(results.values())
+    geomean = float(np.prod(vals)) ** (1.0 / len(vals))
     print(json.dumps({
-        "metric": "clifford_27q_heavy_hex batched env steps/sec/chip",
-        "value": round(headline, 1),
+        "metric": (
+            "batched env steps/sec/chip, geomean over 27q heavy-hex "
+            "{clifford, linear-function, permutation} (full training "
+            "semantics incl. metrics + random inversion)"
+        ),
+        "value": round(geomean, 1),
         "unit": "steps/sec",
-        "vs_baseline": round(headline / NORTH_STAR, 4),
+        "vs_baseline": round(geomean / NORTH_STAR, 4),
     }))
 
 

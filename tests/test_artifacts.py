@@ -65,3 +65,23 @@ def test_az_perm_grid_artifact():
     out = rls.synth(pattern, num_searches=4, num_mcts_searches=32)
     assert out is not None
     assert permutation_pattern(linear_from_circuit(out)).tolist() == pattern
+
+
+def test_reference_pretrained_checkpoint_solves():
+    """The reference's own shipped torch checkpoint, imported into the flax
+    policy, solves routing targets greedily — end-to-end cross-framework
+    compatibility (architecture, weight layout, encodings, solve)."""
+    cfg = "/root/reference/examples/models/perm_square_3x3.json"
+    pt = "/root/reference/examples/models/perm_square_3x3.pt"
+    if not os.path.exists(cfg):
+        pytest.skip("reference artifacts unavailable")
+    rls = RLSynthesis.from_config_json(cfg, pt)
+    gs = rls.env.gateset
+    rng = np.random.default_rng(2)
+    pattern = list(range(9))
+    for _ in range(3):
+        a, b = gs[rng.integers(len(gs))][1]
+        pattern[a], pattern[b] = pattern[b], pattern[a]
+    out = rls.synth(pattern, deterministic=True, num_searches=1)
+    assert out is not None
+    assert permutation_pattern(linear_from_circuit(out)).tolist() == pattern
