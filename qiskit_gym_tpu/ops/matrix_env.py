@@ -239,6 +239,10 @@ class MatrixEnvCore:
             g, a, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int8,
         ) & 1
+        if not self.add_inverts:
+            # the inverse buffer is only consumed by the random-inversion
+            # swap; don't pay its GEMM when the feature is off
+            return new_a, ainv
         new_ainv = jax.lax.dot_general(
             ainv, g, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int8,
