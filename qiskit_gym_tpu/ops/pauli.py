@@ -41,7 +41,7 @@ from qiskit_gym_tpu.spec.metrics import MetricsWeights
 from qiskit_gym_tpu.spec.pauli_env import graph_distances
 from qiskit_gym_tpu.spec.symmetry import compute_qubit_perms
 
-from .matrix_env import _pad_dim
+from .matrix_env import MatrixEnvCore, _pad_dim
 from .tables import MT_1Q, MT_CX, MT_CZ, MT_SWAP, MetricsTables
 
 # primitive op codes
@@ -333,10 +333,9 @@ class PauliEnvCore:
         return (rx.astype(jnp.int8), rz.astype(jnp.int8),
                 ph.astype(jnp.int8), active, removed)
 
-    # -------------------------------------------------------------- metrics
-    # shares the closed-form metrics kernel shape with MatrixEnvCore
-    from .matrix_env import MatrixEnvCore as _MEC  # noqa: E402
-    _metrics_update = _MEC._metrics_update
+    # metrics: shares the closed-form running-max kernel with MatrixEnvCore
+    # (same state fields and per-action tables)
+    _metrics_update = MatrixEnvCore._metrics_update
 
     def translate_action(self, state: PauliEnvState, action):
         """Policy-frame -> env-frame action through the active automorphism."""

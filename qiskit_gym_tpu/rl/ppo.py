@@ -132,16 +132,26 @@ class PPO:
     def _make_eval(self, T: int, ev: EvalConfig):
         E, S = ev.num_episodes, ev.num_searches
         deterministic = ev.deterministic
+        num_sims = ev.num_mcts_searches
 
         def eval_fn(params, key, difficulty):
             k_reset, k_roll = jax.random.split(key)
             state = self.core.reset(k_reset, E, difficulty)
             if S > 1:
                 state = jax.tree.map(lambda x: jnp.repeat(x, S, axis=0), state)
-            final_state, _ = collect(
-                self.core, self.policy.apply, params, state, k_roll, T,
-                deterministic=deterministic,
-            )
+            if num_sims > 0:
+                from .az import collect_mcts
+
+                final_state, _ = collect_mcts(
+                    self.core, self.policy.apply, params, state, k_roll, T,
+                    num_sims=num_sims, c_puct=ev.C,
+                    deterministic=deterministic,
+                )
+            else:
+                final_state, _ = collect(
+                    self.core, self.policy.apply, params, state, k_roll, T,
+                    deterministic=deterministic,
+                )
             success = final_state.success.reshape(E, S).any(axis=1)
             return success.astype(jnp.float32).mean()
 
@@ -152,8 +162,6 @@ class PPO:
         T = self._horizon(difficulty)
         out = {}
         for name, ev in self.config.evals.items():
-            if ev.num_mcts_searches > 0:
-                continue  # MCTS evals are handled by the AZ algorithm
             ck = (name, T)
             if ck not in self._eval_cache:
                 self._eval_cache[ck] = self._make_eval(T, ev)
