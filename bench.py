@@ -19,7 +19,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-from qiskit_gym_tpu.envs import CliffordGym, LinearFunctionGym, PermutationGym
+from qiskit_gym_tpu.envs import (CliffordGym, LinearFunctionGym, PauliGym,
+                                 PermutationGym)
 
 HEAVY_HEX_27 = [
     (0, 1), (1, 2), (1, 4), (2, 3), (3, 5), (4, 7), (5, 8), (6, 7), (7, 10),
@@ -79,6 +80,10 @@ def main():
     env = PermutationGym.from_coupling_map(HEAVY_HEX_27, max_depth=128)
     results["permutation_27q"] = bench_core(env.core, B, K)
 
+    env = PauliGym.from_coupling_map(HEAVY_HEX_27, max_depth=128,
+                                     max_rotations=5)
+    results["pauli_network_27q"] = bench_core(env.core, B, K)
+
     for name, v in results.items():
         print(f"  {name}: {v / 1e6:.2f}M steps/s", file=sys.stderr)
 
@@ -86,9 +91,9 @@ def main():
     geomean = float(np.prod(vals)) ** (1.0 / len(vals))
     print(json.dumps({
         "metric": (
-            "batched env steps/sec/chip, geomean over 27q heavy-hex "
-            "{clifford, linear-function, permutation} (full training "
-            "semantics incl. metrics + random inversion)"
+            "batched env steps/sec/chip, geomean over the four 27q "
+            "heavy-hex env families (full training semantics incl. "
+            "metrics, random inversion, Pauli rotation tracking)"
         ),
         "value": round(geomean, 1),
         "unit": "steps/sec",
