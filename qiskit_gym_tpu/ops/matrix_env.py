@@ -40,8 +40,9 @@ def _pad_dim(dim: int, multiple: int = 8) -> int:
     return max(((dim + multiple - 1) // multiple) * multiple, multiple)
 
 
-def gate_matrix(gate: Gate, num_qubits: int, kind: str, D: int) -> np.ndarray:
-    """The gate's left-multiplication matrix over GF(2), padded to D x D.
+def _gate_terms(gate: Gate, num_qubits: int, kind: str):
+    """The gate's GF(2) action as <= 2 elementary terms:
+    ("x", d, s) = row d ^= row s; ("s", r1, r2) = swap rows r1, r2.
 
     Row-op semantics per family (phase-less):
       permutation: SWAP(a,b) swaps rows a,b; 1q gates identity.
@@ -51,61 +52,6 @@ def gate_matrix(gate: Gate, num_qubits: int, kind: str, D: int) -> np.ndarray:
                    SWAP: both row pairs.
     """
     n = num_qubits
-    G = np.eye(D, dtype=np.uint8)
-    name, qs = gate
-
-    def xor(d, s):
-        G[d] ^= np.eye(D, dtype=np.uint8)[s]
-
-    def swap(r1, r2):
-        G[[r1, r2]] = G[[r2, r1]]
-
-    if kind == "permutation":
-        if name == "SWAP":
-            swap(qs[0], qs[1])
-    elif kind == "linear":
-        if name == "CX":
-            xor(qs[1], qs[0])
-        elif name == "SWAP":
-            swap(qs[0], qs[1])
-    elif kind == "clifford":
-        if name == "H":
-            swap(qs[0], n + qs[0])
-        elif name in ("S", "Sdg"):
-            xor(n + qs[0], qs[0])
-        elif name in ("SX", "SXdg"):
-            xor(qs[0], n + qs[0])
-        elif name == "CX":
-            c, t = qs
-            xor(t, c)
-            xor(n + c, n + t)
-        elif name == "CZ":
-            a, b = qs
-            xor(n + a, b)
-            xor(n + b, a)
-        elif name == "SWAP":
-            a, b = qs
-            swap(a, b)
-            swap(n + a, n + b)
-    else:
-        raise ValueError(f"Unknown env kind {kind!r}")
-    return G
-
-
-def gate_rank2_terms(gate: Gate, num_qubits: int, kind: str, D: int):
-    """Decompose the gate's GF(2) matrix as G = I xor U S (U: [D, 2] dest
-    one-hot combos, S: [2, D] source selectors).
-
-    Every phase-less gate is <= 2 elementary terms: a row-XOR `d ^= s` is
-    (e_d, e_s); a row swap (r1, r2) is (e_r1+e_r2, e_r1+e_r2). The state
-    update then reads/writes each matrix exactly once:
-        M'    = (M + U (S M)) & 1          (left-multiply by G)
-        Minv' = (Minv + (Minv U) S) & 1    (right-multiply by G = G^-1)
-    instead of gathering and multiplying full D x D gate matrices.
-    """
-    n = num_qubits
-    U = np.zeros((D, 2), np.int8)
-    S = np.zeros((2, D), np.int8)
     terms = []
     name, qs = gate
 
@@ -144,8 +90,30 @@ def gate_rank2_terms(gate: Gate, num_qubits: int, kind: str, D: int):
             swap(n + a, n + b)
     else:
         raise ValueError(f"Unknown env kind {kind!r}")
+    return terms
 
-    for k, (tt, i, j) in enumerate(terms):
+
+def gate_matrix(gate: Gate, num_qubits: int, kind: str, D: int) -> np.ndarray:
+    """The gate's left-multiplication matrix over GF(2), padded to D x D."""
+    G = np.eye(D, dtype=np.uint8)
+    for tt, i, j in _gate_terms(gate, num_qubits, kind):
+        if tt == "x":
+            G[i] ^= np.eye(D, dtype=np.uint8)[j]
+        else:
+            G[[i, j]] = G[[j, i]]
+    return G
+
+
+def gate_rank2_terms(gate: Gate, num_qubits: int, kind: str, D: int):
+    """Decompose the gate's GF(2) matrix as G = I xor U S (U: [D, 2] dest
+    one-hot combos, S: [2, D] source selectors); used by the Pallas kernel.
+
+    A row-XOR `d ^= s` is (e_d, e_s); a row swap (r1, r2) is
+    (e_r1+e_r2, e_r1+e_r2).
+    """
+    U = np.zeros((D, 2), np.int8)
+    S = np.zeros((2, D), np.int8)
+    for k, (tt, i, j) in enumerate(_gate_terms(gate, num_qubits, kind)):
         if tt == "x":
             U[i, k] = 1
             S[k, j] = 1
@@ -231,22 +199,22 @@ class MatrixEnvCore:
     # ------------------------------------------------------- matrix updates
     def apply_gates(self, a, ainv, action):
         """One batched MXU step: a' = (G[act] @ a) & 1 (left-mult),
-        ainv' = (ainv @ G[act]) & 1 (right-mult by G = G^-1). Accumulation in
-        int8 is exact (row sums <= D <= 127) and halves the epilogue traffic
-        vs int32."""
+        ainv' = (ainv @ G[act]) & 1 (right-mult by G = G^-1). int32
+        accumulation measured marginally faster than int8 on v5e; the & 1
+        epilogue casts back to the int8 state dtype."""
         g = self.gates[action]  # [B, D, D] int8
-        new_a = jax.lax.dot_general(
+        new_a = (jax.lax.dot_general(
             g, a, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int8,
-        ) & 1
+            preferred_element_type=jnp.int32,
+        ) & 1).astype(jnp.int8)
         if not self.add_inverts:
             # the inverse buffer is only consumed by the random-inversion
             # swap; don't pay its GEMM when the feature is off
             return new_a, ainv
-        new_ainv = jax.lax.dot_general(
+        new_ainv = (jax.lax.dot_general(
             ainv, g, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int8,
-        ) & 1
+            preferred_element_type=jnp.int32,
+        ) & 1).astype(jnp.int8)
         return new_a, new_ainv
 
     def _solved(self, a) -> jnp.ndarray:
