@@ -169,6 +169,16 @@ class PauliEnvCore:
         self.ptype = jnp.asarray(pt)
         self.pq1 = jnp.asarray(p1)
         self.pq2 = jnp.asarray(p2)
+        # static loop bounds: actual primitive depth of this gateset, and the
+        # slot indices where any action has a CNOT (only those need a sweep)
+        self.max_prims = max(
+            (len(_primitive_sequence(g)) for g in self.gateset), default=1
+        )
+        self.cleanup_slots = sorted({
+            k for g in self.gateset
+            for k, (c, _, _) in enumerate(_primitive_sequence(g))
+            if c == P_CNOT
+        })
 
         mt = MetricsTables.build(self.gateset)
         self.mtype = jnp.asarray(np.concatenate([mt.mtype, [MT_1Q]]))
@@ -317,7 +327,9 @@ class PauliEnvCore:
             ph = jnp.where(c[:, None] == P_H, ph_h,
                  jnp.where(c[:, None] == P_S, ph_s, ph)) % 4
 
-            # cleanup after CNOT slots only
+            # cleanup after CNOT slots (masked; a fori over the gateset's
+            # true primitive depth compiles leaner than a static unroll —
+            # measured on v5e)
             new_active, rem = self._cleanup(rx, rz, active, state.anti)
             iscx_b = (c == P_CNOT)
             active = jnp.where(iscx_b[:, None], new_active, active)
@@ -326,7 +338,7 @@ class PauliEnvCore:
 
         removed0 = jnp.zeros(state.batch, jnp.int32)
         rx, rz, ph, active, removed = jax.lax.fori_loop(
-            0, MAX_PRIMS, slot,
+            0, self.max_prims, slot,
             (state.rx.astype(jnp.int32), state.rz.astype(jnp.int32),
              state.rphase.astype(jnp.int32), state.active, removed0),
         )
