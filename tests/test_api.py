@@ -193,3 +193,14 @@ def test_top_level_exports():
     import qiskit_gym_tpu as q
 
     assert hasattr(q, "RLSynthesis") and hasattr(q, "PermutationGym")
+
+
+def test_curriculum_advances():
+    """PPO on a trivial env must pass the eval gate and advance difficulty."""
+    env = PermutationGym.from_coupling_map(LINE_3, max_depth=16)
+    cfg = PPOConfig(num_episodes=64, num_epochs=4,
+                    evals={"ppo_deterministic": EvalConfig(num_episodes=32)})
+    rls = RLSynthesis(env, cfg, BasicPolicyConfig(embedding_size=64,
+                                                  common_layers=[32]))
+    rls.learn(initial_difficulty=1, num_iterations=8)
+    assert env.difficulty > 1, "curriculum never advanced on a 3-qubit line"
