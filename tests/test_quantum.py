@@ -223,3 +223,33 @@ def test_permutation_pattern_and_gf2_inverse():
             qc2.cx(int(c), int(t))
         m = linear_from_circuit(qc2)
         assert np.array_equal((gf2_inverse(m) @ m) % 2, np.eye(n, dtype=np.uint8))
+
+
+def test_clifford_synthesis_n6():
+    for _ in range(3):
+        qc = random_clifford_circuit(6, 80, RNG)
+        cf = Clifford(qc)
+        assert Clifford(cf.to_circuit()) == cf
+        assert cf.compose(cf.adjoint()).is_identity()
+
+
+def test_qiskit_interop_gated():
+    """The bridge raises a clear ImportError without qiskit (and would
+    convert if it were installed)."""
+    import pytest as _pytest
+
+    try:
+        import qiskit  # noqa: F401
+        has_qiskit = True
+    except ImportError:
+        has_qiskit = False
+
+    from qiskit_gym_tpu.quantum import qiskit_interop
+
+    if not has_qiskit:
+        with _pytest.raises(ImportError, match="qiskit is not installed"):
+            qiskit_interop.to_qiskit(Circuit(1).h(0))
+    else:  # pragma: no cover - exercised only where qiskit exists
+        qk = qiskit_interop.to_qiskit(Circuit(2).h(0).cx(0, 1).rz(0.3, 1))
+        back = qiskit_interop.from_qiskit(qk)
+        assert [g[0] for g in back] == ["h", "cx", "rz"]
