@@ -49,7 +49,9 @@ def bench_core(core, B: int, K: int, repeats: int = 3) -> float:
                           invert_override=flip if core.add_inverts else None)
             return s, None
 
-        state, _ = jax.lax.scan(body, state, (actions, flips, keys))
+        # unroll amortizes the per-iteration scan overhead, which dominates
+        # at these matrix sizes (measured: +34% on the n x n families)
+        state, _ = jax.lax.scan(body, state, (actions, flips, keys), unroll=4)
         return state
 
     run_j = jax.jit(run)
