@@ -5,18 +5,17 @@ and gate matrices (permutation: n x n one-hot rows, SWAP = row swap;
 linear: n x n, CX = row XOR; clifford: 2n x 2n phase-less symplectic;
 reference semantics rust/src/envs/{permutation,linear_function,clifford}.rs).
 
-TPU-first design (measured on v5e — see bench.py):
+TPU-first design (measured on v5e — see bench.py and docs/PERF.md):
 - State is DENSE int8 [B, D, D] (D = dim padded to a multiple of 8, identity
-  in the padding block). Applying per-env gate `a` is one batched MXU matmul
-  M' = (G[a] @ M) mod 2 — gate matrices are elementary (I + e_d e_s^T or row
-  permutations), gathered per env from a static stack. This replaces per-env
-  row gathers, which are lane-hostile on TPU (60x slower, measured).
+  in the padding block). Applying per-env gate `a` uses the rank-2 form
+  G = I xor U S: source rows are extracted by one-hot masked sums and XORed
+  into destination rows — pure VPU traffic, no per-env gathers (lane-hostile,
+  60x slower) and no batched GEMM (MXU-setup-bound at these sizes).
 - Every gate here is an involution on the phase-less state (G^-1 = G), so the
-  tracked inverse updates by RIGHT-multiplying the same gathered G:
+  tracked inverse updates by RIGHT-multiplying the same terms:
   (G M)^-1 = M^-1 G. The reference's 50%-per-step random state inversion
   (rust maybe_random_invert) is then just a buffer swap — the O(dim^3)
   Gauss-Jordan never runs inside an episode.
-- int8 x int8 -> int32 matmuls are exact; mod 2 is a bitwise AND with 1.
 - Metrics use one-hot selects (no scatters) and running-max layer counters
   (layer sets are provably dense; spec/metrics.py).
 """
@@ -104,6 +103,49 @@ def gate_matrix(gate: Gate, num_qubits: int, kind: str, D: int) -> np.ndarray:
     return G
 
 
+def gf2_factor(M: np.ndarray):
+    """GF(2) rank factorization M = U @ S (mod 2), numpy, construction-time.
+
+    S is a subset of M's rows (a row basis); U holds each row's coefficients
+    in that basis. Used to turn arbitrary sparse gate matrices G into
+    I xor U S form for the VPU masked-sum step (rank = rank of G xor I,
+    <= 2 for every gate family here)."""
+    M = (np.asarray(M) % 2).astype(np.uint8)
+    D = M.shape[0]
+    ech, coeffs, chosen = [], [], []
+    U = np.zeros((D, D), np.uint8)
+    for i in range(D):
+        v = M[i].copy()
+        c = np.zeros(D, np.uint8)
+        c[i] = 1
+        # reduce until stable (rows are kept in insertion order, not pivot
+        # order; each XOR clears v's bit at that row's first set bit and only
+        # touches later bits, so v strictly decreases and this terminates)
+        changed = True
+        while changed:
+            changed = False
+            for e, ce in zip(ech, coeffs):
+                p = int(np.argmax(e))
+                if v[p]:
+                    v ^= e
+                    c ^= ce
+                    changed = True
+        if v.any():
+            ech.append(v)
+            coeffs.append(c)
+            chosen.append(i)
+            U[i, i] = 1
+        else:
+            # M[i] = sum of chosen rows j with c[j] = 1 (j != i)
+            c[i] = 0
+            U[i] = c
+    r = len(chosen)
+    S = M[chosen] if r else np.zeros((0, D), np.uint8)
+    Uc = U[:, chosen] if r else np.zeros((D, 0), np.uint8)
+    assert np.array_equal((Uc.astype(np.int64) @ S) % 2, M)
+    return Uc, S
+
+
 def gate_rank2_terms(gate: Gate, num_qubits: int, kind: str, D: int):
     """Decompose the gate's GF(2) matrix as G = I xor U S (U: [D, 2] dest
     one-hot combos, S: [2, D] source selectors); used by the Pallas kernel.
@@ -121,6 +163,34 @@ def gate_rank2_terms(gate: Gate, num_qubits: int, kind: str, D: int):
             U[i, k] = U[j, k] = 1
             S[k, i] = S[k, j] = 1
     return U, S
+
+
+def rank_terms_apply_left(U, S, a):
+    """a' = (I xor U S) a over GF(2) in VPU masked-sum form.
+
+    U [B, D, K] int8 destination combos, S [B, K, D] int8 source selectors,
+    a [B, D, D] int8. Each term extracts one source-row combination with a
+    one-hot masked sum over sublanes and XORs it into the destination rows
+    via broadcast AND — no gathers, no MXU."""
+    K = U.shape[-1]
+    acc = None
+    for k in range(K):
+        r = (jnp.sum(S[:, k, :, None] * a, axis=1) & 1).astype(jnp.int8)
+        t = U[:, :, k, None] & r[:, None, :]
+        acc = t if acc is None else acc ^ t
+    return a if acc is None else a ^ acc
+
+
+def rank_terms_apply_right(U, S, m):
+    """m' = m (I xor U S) over GF(2); mirrors rank_terms_apply_left along
+    the lane axis (column extraction, row-selector broadcast)."""
+    K = U.shape[-1]
+    acc = None
+    for k in range(K):
+        c = (jnp.sum(m * U[:, None, :, k], axis=2) & 1).astype(jnp.int8)
+        t = c[:, :, None] & S[:, k, None, :]
+        acc = t if acc is None else acc ^ t
+    return m if acc is None else m ^ acc
 
 
 class MatrixEnvState(NamedTuple):
@@ -170,15 +240,24 @@ class MatrixEnvCore:
             MetricsWeights.from_dict(metrics_weights).as_array()
         )
 
-        # gate-matrix stack; index A (one past the end) is the identity
-        # no-op used for masked scramble steps. (A rank-2 I + U S^T update
-        # formulation was tried and measured slower: K=2 contractions starve
-        # the MXU; the full D x D batched GEMM wins.)
-        stack = np.stack(
-            [gate_matrix(g, self.num_qubits, kind, self.D) for g in self.gateset]
-            + [np.eye(self.D, dtype=np.uint8)]
-        )
-        self.gates = jnp.asarray(stack.astype(np.int8))     # [A+1, D, D]
+        # rank-2 term tables: every gate is G = I xor U S with U [D, 2] dest
+        # one-hot combos and S [2, D] source selectors; index A (one past the
+        # end) is the all-zero no-op used for masked scramble steps. The
+        # production step applies G via VPU masked-row-sum + XOR (fastest
+        # measured variant; see docs/PERF.md for the GEMM/Pallas history).
+        Us, Ss = [], []
+        for g in self.gateset:
+            U, S = gate_rank2_terms(g, self.num_qubits, kind, self.D)
+            G = gate_matrix(g, self.num_qubits, kind, self.D)
+            G2 = (np.eye(self.D, dtype=np.int64) + U.astype(np.int64) @ S) % 2
+            assert np.array_equal(G, G2), (
+                f"rank-2 terms disagree with sequential row-ops for {g}")
+            Us.append(U)
+            Ss.append(S)
+        Us.append(np.zeros((self.D, 2), np.int8))
+        Ss.append(np.zeros((2, self.D), np.int8))
+        self.Ug = jnp.asarray(np.stack(Us))                 # [A+1, D, 2]
+        self.Sg = jnp.asarray(np.stack(Ss))                 # [A+1, 2, D]
         mt = MetricsTables.build(self.gateset)
         # identity action is metrics-neutral: type 1Q on a dummy qubit slot
         self.mtype = jnp.asarray(np.concatenate([mt.mtype, [MT_1Q]]))
@@ -198,23 +277,23 @@ class MatrixEnvCore:
 
     # ------------------------------------------------------- matrix updates
     def apply_gates(self, a, ainv, action):
-        """One batched MXU step: a' = (G[act] @ a) & 1 (left-mult),
-        ainv' = (ainv @ G[act]) & 1 (right-mult by G = G^-1). int32
-        accumulation measured marginally faster than int8 on v5e; the & 1
-        epilogue casts back to the int8 state dtype."""
-        g = self.gates[action]  # [B, D, D] int8
-        new_a = (jax.lax.dot_general(
-            g, a, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        ) & 1).astype(jnp.int8)
+        """One batched step via the rank-2 form G = I xor U S.
+
+        Left-mult a' = a ^ U (S a): the two source rows are extracted with
+        one-hot masked sums over the sublane axis (no per-env gathers — those
+        are lane-hostile on TPU) and XORed into the destination rows via
+        broadcast AND. Right-mult ainv' = ainv ^ (ainv U) S mirrors it along
+        the lane axis. Pure VPU elementwise + reduction work; measured ~30-40%
+        faster than the per-action gate-matrix batched GEMM at D in [32, 56]
+        (docs/PERF.md)."""
+        U = self.Ug[action]  # [B, D, 2] int8
+        S = self.Sg[action]  # [B, 2, D] int8
+        new_a = rank_terms_apply_left(U, S, a)
         if not self.add_inverts:
             # the inverse buffer is only consumed by the random-inversion
-            # swap; don't pay its GEMM when the feature is off
+            # swap; don't touch it when the feature is off
             return new_a, ainv
-        new_ainv = (jax.lax.dot_general(
-            ainv, g, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        ) & 1).astype(jnp.int8)
+        new_ainv = rank_terms_apply_right(U, S, ainv)
         return new_a, new_ainv
 
     def _solved(self, a) -> jnp.ndarray:

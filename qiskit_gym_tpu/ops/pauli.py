@@ -3,9 +3,10 @@
 Reference semantics: rust/src/envs/pauli.rs + rust/src/pauli/* (re-derived;
 the spec twin is spec/pauli_env.py). Fixed-shape design:
 
-- Tableau block: dense int8 [B, D2, D2] updated by ONE batched MXU matmul
-  per step with the action's NET gate matrix (the product of its primitive
-  row-ops, using the Pauli network's transposed-index cnot convention).
+- Tableau block: dense int8 [B, D2, D2] updated per step with the action's
+  NET gate matrix (the product of its primitive row-ops, using the Pauli
+  network's transposed-index cnot convention) in factorized I xor U S form
+  via the VPU masked-sum kernel (ops/matrix_env.rank_terms_apply_left).
 - Rotations: (x, z) bits int8 [B, R, n] + phase mod 4 [B, R], evolved through
   the action's primitive sequence (<= 9 H/S/CNOT slots; composite gates like
   SXdg = (HSH)^3 expand exactly as the reference applies them), because phase
@@ -41,7 +42,8 @@ from qiskit_gym_tpu.spec.metrics import MetricsWeights
 from qiskit_gym_tpu.spec.pauli_env import graph_distances
 from qiskit_gym_tpu.spec.symmetry import compute_qubit_perms
 
-from .matrix_env import MatrixEnvCore, _pad_dim
+from .matrix_env import (MatrixEnvCore, _pad_dim, gf2_factor,
+                         rank_terms_apply_left)
 from .tables import MT_1Q, MT_CX, MT_CZ, MT_SWAP, MetricsTables
 
 # primitive op codes
@@ -151,12 +153,22 @@ class PauliEnvCore:
         )
 
         A = len(self.gateset)
-        # net tableau matrices (+ identity no-op at index A)
-        stack = np.stack(
-            [_network_gate_matrix(g, n, self.D2) for g in self.gateset]
-            + [np.eye(self.D2, dtype=np.uint8)]
-        )
-        self.gates = jnp.asarray(stack.astype(np.int8))
+        # net tableau matrices factorized as G = I xor U S for the VPU
+        # masked-sum step (+ all-zero no-op terms at index A); every net
+        # matrix here has rank(G xor I) <= 2
+        mats = [_network_gate_matrix(g, n, self.D2) for g in self.gateset]
+        mats.append(np.eye(self.D2, dtype=np.uint8))
+        eye = np.eye(self.D2, dtype=np.uint8)
+        facs = [gf2_factor(G ^ eye) for G in mats]
+        Kmax = max(U.shape[1] for U, _ in facs)
+        Us = np.zeros((A + 1, self.D2, Kmax), np.int8)
+        Ss = np.zeros((A + 1, Kmax, self.D2), np.int8)
+        for i, (U, S) in enumerate(facs):
+            r = U.shape[1]
+            Us[i, :, :r] = U
+            Ss[i, :r, :] = S
+        self.Ug = jnp.asarray(Us)
+        self.Sg = jnp.asarray(Ss)
         self.noop_action = A
 
         # primitive tables [A+1, MAX_PRIMS]
@@ -365,11 +377,9 @@ class PauliEnvCore:
         actual = self.translate_action(state, action)
         state, penalty = self._metrics_update(state, actual)
 
-        g = self.gates[actual]
-        new_tab = (jax.lax.dot_general(
-            g, state.tab, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        ) & 1).astype(jnp.int8)
+        new_tab = rank_terms_apply_left(
+            self.Ug[actual], self.Sg[actual], state.tab
+        )
 
         rx, rz, ph, active, removed = self._apply_primitives(state, actual)
 

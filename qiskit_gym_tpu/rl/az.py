@@ -37,12 +37,20 @@ class AZTrajectory(NamedTuple):
 
 def collect_mcts(core, policy_apply, params, state, key, T: int,
                  num_sims: int, c_puct: float, deterministic: bool = False,
-                 temperature: float = 1.0):
+                 temperature: float = 1.0, temperature_drop: int = 0,
+                 noise_eps: float = 0.0, dirichlet_alpha: float = 0.3,
+                 max_expand_depth: int = 1):
+    """`noise_eps`/`dirichlet_alpha` add AZ root exploration noise per move;
+    `temperature_drop > 0` switches from visit-sampling to argmax after that
+    many moves (AlphaZero temperature schedule); both are self-play-only knobs
+    (pass defaults for eval)."""
     # pregenerate per-step keys (serial per-step threefry chains are
     # expensive on TPU; see rl/rollout.collect)
     step_keys = jax.random.split(key, 3 * T).reshape(T, 3)
+    step_idx = jnp.arange(T, dtype=jnp.int32)
 
-    def step_fn(env_state, keys_t):
+    def step_fn(env_state, xs):
+        keys_t, t = xs
         k_sim, k_act, k_step = keys_t[0], keys_t[1], keys_t[2]
         obs = core.dense(env_state)
         visits, root_value, _priors = mcts_search(
@@ -51,6 +59,8 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
             # tree-depth cap: selection deeper than ~32 is vanishingly rare
             # and each extra level is a sequential fori iteration per sim
             max_depth=min(T, 32),
+            dirichlet_alpha=dirichlet_alpha, noise_eps=noise_eps,
+            max_expand_depth=max_expand_depth,
         )
         probs = visits / jnp.maximum(visits.sum(-1, keepdims=True), 1e-8)
         if deterministic:
@@ -58,6 +68,9 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
         else:
             logits = jnp.log(jnp.maximum(visits, 1e-8)) / temperature
             action = jax.random.categorical(k_act, logits, axis=-1)
+            if temperature_drop > 0:
+                action = jnp.where(t >= temperature_drop,
+                                   jnp.argmax(visits, axis=-1), action)
 
         live = ~core.is_final(env_state)
         stepped = core.step(env_state, action, k_step)
@@ -79,7 +92,8 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
         )
         return new_state, tr
 
-    final_state, traj = jax.lax.scan(step_fn, state, step_keys, length=T)
+    final_state, traj = jax.lax.scan(step_fn, state, (step_keys, step_idx),
+                                     length=T)
     traj = traj._replace(success=final_state.success)
     return final_state, traj
 
@@ -144,6 +158,11 @@ class AZ:
             final_state, traj = collect_mcts(
                 self.core, self.policy.apply, params, state, k_roll, T,
                 num_sims=cfg.num_mcts_searches, c_puct=cfg.C,
+                temperature=cfg.temperature,
+                temperature_drop=cfg.temperature_drop,
+                noise_eps=cfg.root_noise_eps,
+                dirichlet_alpha=cfg.dirichlet_alpha,
+                max_expand_depth=cfg.max_expand_depth,
             )
             # undiscounted reward-to-go as the value target
             def back(g, xs):
@@ -275,12 +294,13 @@ class AZ:
             self.env, self.policy, self.params, state,
             num_searches=num_searches, num_mcts_searches=num_mcts_searches,
             C=C, deterministic=deterministic,
+            max_expand_depth=max_expand_depth,
         )
 
 
 def mcts_solve(env, policy, params, state_encoded, num_searches: int,
                num_mcts_searches: int, C: float, deterministic: bool = False,
-               key=None):
+               key=None, max_expand_depth: int = 1):
     """MCTS-guided batched solve (reference rl/synthesis.py:112-126 with
     num_mcts_searches > 0)."""
     core = env.core
@@ -295,6 +315,7 @@ def mcts_solve(env, policy, params, state_encoded, num_searches: int,
         lambda s, k: collect_mcts(
             core, policy.apply, params, s, k, T,
             num_sims=num_mcts_searches, c_puct=C, deterministic=deterministic,
+            max_expand_depth=max_expand_depth,
         )
     )(state, key)
 

@@ -120,6 +120,12 @@ class PPOConfig(_JsonMixin):
     num_episodes: int = 1024
     gae_lambda: float = 0.995
     gamma: float = 0.995
+    # episode packing: finished lanes are refilled mid-rollout from a pool of
+    # pool_slots pregenerated reset batches (rl/rollout.collect_packed) —
+    # every scan step collects useful data instead of freezing finished
+    # lanes. Off by default (aligned collection, reference semantics).
+    episode_packing: bool = False
+    pack_pool_slots: int = 8
     # training
     num_epochs: int = 10
     vf_coef: float = 0.8
@@ -163,6 +169,11 @@ class PPOConfig(_JsonMixin):
                 "normalize_advantage": self.normalize_advantage,
             },
         }
+        # packing knobs are emitted only when changed, keeping configs
+        # written with defaults byte-identical to the reference schema
+        for k in ("episode_packing", "pack_pool_slots"):
+            if getattr(self, k) != getattr(type(self), k):
+                out["collecting"][k] = getattr(self, k)
         out.update(self._tail_json())
         return out
 
@@ -175,6 +186,8 @@ class PPOConfig(_JsonMixin):
             num_episodes=col.get("num_episodes", cls.num_episodes),
             gae_lambda=col.get("lambda", cls.gae_lambda),
             gamma=col.get("gamma", cls.gamma),
+            episode_packing=col.get("episode_packing", cls.episode_packing),
+            pack_pool_slots=col.get("pack_pool_slots", cls.pack_pool_slots),
             num_epochs=tr.get("num_epochs", cls.num_epochs),
             vf_coef=tr.get("vf_coef", cls.vf_coef),
             ent_coef=tr.get("ent_coef", cls.ent_coef),
@@ -195,6 +208,12 @@ class AlphaZeroConfig(_JsonMixin):
     num_mcts_searches: int = 1000
     C: float = 1.41
     max_expand_depth: int = 1
+    # self-play exploration (AZ conventions; defaults keep the legacy
+    # no-noise behavior and are omitted from JSON when left at defaults)
+    root_noise_eps: float = 0.0     # Dirichlet noise fraction at the root
+    dirichlet_alpha: float = 0.3
+    temperature: float = 1.0        # visit-count sampling temperature
+    temperature_drop: int = 0       # argmax after this many moves (0 = never)
     # training
     num_epochs: int = 10
     # optimizer
@@ -214,6 +233,10 @@ class AlphaZeroConfig(_JsonMixin):
         self._common_validate()
         if self.num_mcts_searches <= 0 or self.C <= 0 or self.max_expand_depth < 1:
             raise ValueError("bad num_mcts_searches / C / max_expand_depth")
+        if not (0.0 <= self.root_noise_eps <= 1.0) or self.dirichlet_alpha <= 0:
+            raise ValueError("bad root_noise_eps / dirichlet_alpha")
+        if self.temperature <= 0 or self.temperature_drop < 0:
+            raise ValueError("bad temperature / temperature_drop")
 
     def to_json(self) -> dict:
         self.validate()
@@ -227,6 +250,12 @@ class AlphaZeroConfig(_JsonMixin):
             },
             "training": {"num_epochs": self.num_epochs},
         }
+        # exploration knobs are emitted only when changed, keeping configs
+        # written with defaults byte-identical to the reference schema
+        for k in ("root_noise_eps", "dirichlet_alpha", "temperature",
+                  "temperature_drop"):
+            if getattr(self, k) != getattr(type(self), k):
+                out["collecting"][k] = getattr(self, k)
         out.update(self._tail_json())
         return out
 
@@ -240,6 +269,10 @@ class AlphaZeroConfig(_JsonMixin):
             num_mcts_searches=col.get("num_mcts_searches", cls.num_mcts_searches),
             C=col.get("C", cls.C),
             max_expand_depth=col.get("max_expand_depth", cls.max_expand_depth),
+            root_noise_eps=col.get("root_noise_eps", cls.root_noise_eps),
+            dirichlet_alpha=col.get("dirichlet_alpha", cls.dirichlet_alpha),
+            temperature=col.get("temperature", cls.temperature),
+            temperature_drop=col.get("temperature_drop", cls.temperature_drop),
             num_epochs=tr.get("num_epochs", cls.num_epochs),
             algorithm_cls=data.get("algorithm_cls", cls.algorithm_cls),
             **cls._tail_from_json(data),

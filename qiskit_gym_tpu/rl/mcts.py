@@ -71,8 +71,19 @@ def mcts_search(
     num_sims: int,
     c_puct: float,
     max_depth: int,
+    dirichlet_alpha: float = 0.3,
+    noise_eps: float = 0.0,
+    max_expand_depth: int = 1,
 ):
     """Run num_sims batched simulations from root_state.
+
+    `noise_eps > 0` mixes Dirichlet(alpha) exploration noise into the root
+    priors (AlphaZero self-play convention; masked actions get no noise).
+    `max_expand_depth > 1` extends each expansion with a greedy-by-prior
+    truncated rollout of that many env steps: only the first stepped node is
+    attached to the tree, deeper steps contribute accumulated reward plus the
+    network value at the rollout frontier to the backed-up leaf value
+    (reference max_expand_depth knob, rl/configs.py:306-320).
 
     Returns (visit_counts [B, A], root_value [B], root_priors [B, A]).
     """
@@ -80,11 +91,21 @@ def mcts_search(
     A = core.num_actions
     N1 = num_sims + 1
 
+    key, noise_key = jax.random.split(key)
+
     obs = core.dense(root_state)
     logits, value = policy_apply(params, obs)
     masks = core.masks(root_state)
     neg = jnp.finfo(logits.dtype).min
     priors0 = jax.nn.softmax(jnp.where(masks, logits, neg), axis=-1)
+    if noise_eps > 0.0:
+        # masked Dirichlet: per-action gammas, zeroed where illegal,
+        # renormalized (all-masked rows fall back to the raw priors)
+        gam = jax.random.gamma(noise_key, dirichlet_alpha, (B, A))
+        gam = jnp.where(masks, gam, 0.0)
+        tot = gam.sum(-1, keepdims=True)
+        noise = jnp.where(tot > 0, gam / jnp.maximum(tot, 1e-12), priors0)
+        priors0 = (1.0 - noise_eps) * priors0 + noise_eps * noise
 
     tree = Tree(
         states=_tile_node_axis(root_state, N1),
@@ -188,9 +209,32 @@ def mcts_search(
         )
 
         # value to back up from the expansion point
-        leaf_value = jnp.where(
-            term_new, 0.0, value_new
-        )
+        if max_expand_depth > 1:
+            # truncated greedy rollout below the new node (not attached)
+            roll_state = stepped
+            alive = ~term_new
+            extra_r = jnp.zeros(B)
+            for d in range(max_expand_depth - 1):
+                obs_d = core.dense(roll_state)
+                logits_d, _ = policy_apply(params, obs_d)
+                masks_d = core.masks(roll_state)
+                act_d = jnp.argmax(jnp.where(masks_d, logits_d, neg), -1)
+                nxt = core.step(roll_state, act_d,
+                                jax.random.fold_in(k_step, d + 1))
+                extra_r = extra_r + jnp.where(alive, nxt.reward, 0.0)
+                roll_state = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        alive.reshape(alive.shape + (1,) * (new.ndim - 1)),
+                        new, old,
+                    ),
+                    nxt, roll_state,
+                )
+                alive = alive & ~core.is_final(roll_state)
+            _, v_front = policy_apply(params, core.dense(roll_state))
+            leaf_value = extra_r + jnp.where(alive, v_front, 0.0)
+            leaf_value = jnp.where(term_new, 0.0, leaf_value)
+        else:
+            leaf_value = jnp.where(term_new, 0.0, value_new)
         leaf_value = jnp.where(attachable, leaf_value, 0.0)
 
         # ---- BACKUP: walk the path backwards, accumulating rewards

@@ -21,7 +21,7 @@ import optax
 from qiskit_gym_tpu.models.policies import PolicyBundle
 
 from .configs import EvalConfig, PPOConfig
-from .rollout import Trajectory, collect, gae
+from .rollout import Trajectory, collect, collect_packed, gae
 from .solve import policy_solve
 
 
@@ -96,16 +96,28 @@ class PPO:
 
         def train_step(params, opt_state, key, difficulty):
             k_reset, k_roll = jax.random.split(key)
-            state = self.core.reset(k_reset, B, difficulty)
             if self.mesh is not None:
-                from qiskit_gym_tpu.parallel import shard_env_state, shard_params
+                from qiskit_gym_tpu.parallel import shard_params
 
-                state = shard_env_state(self.mesh, state)
                 params = shard_params(self.mesh, params)
-            final_state, traj = collect(
-                self.core, self.policy.apply, params, state, k_roll, T
-            )
-            adv, returns = gae(traj, cfg.gamma, cfg.gae_lambda)
+            if cfg.episode_packing:
+                final_state, traj, stats = collect_packed(
+                    self.core, self.policy.apply, params, k_roll, T, B,
+                    difficulty, pool_slots=cfg.pack_pool_slots,
+                )
+                adv, returns = gae(traj, cfg.gamma, cfg.gae_lambda,
+                                   last_value=stats["last_value"])
+            else:
+                state = self.core.reset(k_reset, B, difficulty)
+                if self.mesh is not None:
+                    from qiskit_gym_tpu.parallel import shard_env_state
+
+                    state = shard_env_state(self.mesh, state)
+                final_state, traj = collect(
+                    self.core, self.policy.apply, params, state, k_roll, T
+                )
+                stats = None
+                adv, returns = gae(traj, cfg.gamma, cfg.gae_lambda)
 
             def epoch(carry, _):
                 params, opt_state = carry
@@ -120,7 +132,16 @@ class PPO:
                 epoch, (params, opt_state), None, length=cfg.num_epochs
             )
             metrics = {k: v[-1] for k, v in auxs.items()}
-            metrics["success_rate"] = final_state.success.mean()
+            if stats is not None:
+                done = jnp.maximum(stats["episodes_completed"].sum(), 1)
+                metrics["success_rate"] = (
+                    stats["episodes_succeeded"].sum() / done
+                )
+                metrics["episodes_completed"] = (
+                    stats["episodes_completed"].sum()
+                )
+            else:
+                metrics["success_rate"] = final_state.success.mean()
             metrics["mean_episode_reward"] = (
                 (traj.reward * traj.valid).sum(0).mean()
             )

@@ -100,14 +100,114 @@ def collect(core, policy_apply, params, state, key, T: int,
     return final_state, traj
 
 
-def gae(traj: Trajectory, gamma: float, lam: float):
-    """Generalized advantage estimation over the aligned batch.
+def collect_packed(core, policy_apply, params, key, T: int, B: int,
+                   difficulty, pool_slots: int = 8,
+                   deterministic: bool = False):
+    """Episode-packed rollout: lanes that finish are immediately refilled
+    with a fresh reset, so every scan step does useful work (aligned
+    `collect` freezes finished lanes — up to ~2x wasted steps at high
+    difficulty).
+
+    Fresh states come from a pool of `pool_slots` pregenerated reset batches
+    (resetting inside the scan would re-run the scramble loop every step); a
+    lane finishing at step t takes its own lane from pool slot t % pool_slots.
+    A lane only sees a repeated scramble if two of its episodes end exactly
+    k * pool_slots steps apart — rare and harmless for training data.
+
+    Returns (final_state, Trajectory, stats) where stats is a dict with
+    episodes_completed / episodes_succeeded [B] counters and last_value [B]
+    for GAE horizon bootstrapping (mid-episode truncation at the scan end is
+    expected here, unlike the aligned collector where the horizon is the
+    depth budget)."""
+    A = core.num_actions
+    k_pool, k_g, k_f, k_s = jax.random.split(key, 4)
+    pool = core.reset(k_pool, B * pool_slots, difficulty)
+    pool = jax.tree.map(
+        lambda x: x.reshape((pool_slots, B) + x.shape[1:]), pool
+    )
+    state0 = jax.tree.map(lambda x: x[0], pool)
+
+    gumbel = (jnp.zeros((T, B, A)) if deterministic
+              else jax.random.gumbel(k_g, (T, B, A)))
+    if getattr(core, "add_inverts", False):
+        flips = jax.random.bernoulli(k_f, 0.5, (T, B))
+    else:
+        flips = jnp.zeros((T, B), bool)
+    step_keys = jax.random.split(k_s, T)
+    # slot 0 seeds the initial states; consumption starts at slot 1
+    slots = (1 + jnp.arange(T, dtype=jnp.int32)) % pool_slots
+
+    def step_fn(carry, xs):
+        env_state, n_done, n_succ = carry
+        g_t, flip_t, key_t, slot_t = xs
+        obs = core.dense(env_state)
+        logits, value = policy_apply(params, obs)
+        masks = core.masks(env_state)
+        neg = jnp.finfo(logits.dtype).min
+        masked = jnp.where(masks, logits, neg)
+        action = jnp.argmax(masked + g_t, axis=-1)
+        logp_all = jax.nn.log_softmax(masked, axis=-1)
+        logp = jnp.take_along_axis(logp_all, action[:, None], axis=-1)[:, 0]
+
+        live = ~core.is_final(env_state)
+        inverted = env_state.inverted
+        actual = (core.translate_action(env_state, action)
+                  if hasattr(core, "translate_action") else action)
+        stepped = core.step(env_state, action, key_t,
+                            invert_override=flip_t
+                            if getattr(core, "add_inverts", False) else None)
+        done = live & core.is_final(stepped)
+        n_done = n_done + done.astype(jnp.int32)
+        n_succ = n_succ + (done & stepped.success).astype(jnp.int32)
+
+        # refill finished lanes (and any dead lane, e.g. an instantly-solved
+        # fresh reset) from this step's pool slot
+        refresh = done | ~live
+        fresh = jax.tree.map(
+            lambda p: jax.lax.dynamic_index_in_dim(p, slot_t, 0,
+                                                   keepdims=False), pool
+        )
+        new_state = jax.tree.map(
+            lambda fr, st: jnp.where(
+                refresh.reshape(refresh.shape + (1,) * (st.ndim - 1)), fr, st
+            ),
+            fresh, stepped,
+        )
+        reward = jnp.where(live, stepped.reward, 0.0)
+        tr = Trajectory(
+            obs=obs, action=action, actual=actual, logp=logp, value=value,
+            reward=reward, valid=live, done=done, inverted=inverted,
+            success=jnp.zeros_like(live),
+        )
+        return (new_state, n_done, n_succ), tr
+
+    zeros = jnp.zeros(B, jnp.int32)
+    (final_state, n_done, n_succ), traj = jax.lax.scan(
+        step_fn, (state0, zeros, zeros), (gumbel, flips, step_keys, slots),
+        length=T,
+    )
+    traj = traj._replace(success=final_state.success)
+    _, last_value = policy_apply(params, core.dense(final_state))
+    stats = {
+        "episodes_completed": n_done,
+        "episodes_succeeded": n_succ,
+        "last_value": last_value,
+    }
+    return final_state, traj, stats
+
+
+def gae(traj: Trajectory, gamma: float, lam: float, last_value=None):
+    """Generalized advantage estimation over the batch.
 
     Episodes are finite-horizon (the depth budget is part of the MDP — the
     reference treats budget exhaustion as terminal), so the value after a
-    `done` step bootstraps to 0, as does the horizon end.
+    `done` step bootstraps to 0. The horizon end also bootstraps to 0 for
+    the aligned collector (horizon == depth budget); packed collection
+    truncates mid-episode and passes `last_value` to bootstrap instead.
     """
     T = traj.reward.shape[0]
+    v_end = (jnp.zeros_like(traj.value[0]) if last_value is None
+             else last_value)
 
     def back(carry, xs):
         adv_next, v_next = carry
@@ -120,7 +220,7 @@ def gae(traj: Trajectory, gamma: float, lam: float):
 
     (_, _), advs = jax.lax.scan(
         back,
-        (jnp.zeros_like(traj.value[0]), jnp.zeros_like(traj.value[0])),
+        (jnp.zeros_like(traj.value[0]), v_end),
         (traj.reward, traj.value, traj.done, traj.valid),
         reverse=True,
     )

@@ -91,3 +91,74 @@ def test_az_config_roundtrip(tmp_path):
     b = jax.tree.leaves(rls2.algorithm.params)
     for x, y in zip(a, b):
         assert np.allclose(np.asarray(x), np.asarray(y))
+
+
+def test_mcts_with_root_noise_and_expand_depth():
+    """Dirichlet root noise and max_expand_depth>1 keep MCTS sound: visit
+    counts still concentrate on the solving action."""
+    env, policy = _env_and_policy()
+    core = env.core
+    params = policy.init(jax.random.key(0))
+    state = core.set_state(np.array([[1, 0, 2]], dtype=np.int32))
+    visits, root_value, priors = jax.jit(
+        lambda s, k: mcts_search(core, policy.apply, params, s, k,
+                                 num_sims=64, c_puct=1.41, max_depth=8,
+                                 noise_eps=0.25, dirichlet_alpha=0.3,
+                                 max_expand_depth=3)
+    )(state, jax.random.key(1))
+    assert np.asarray(visits)[0].argmax() == 0
+    assert float(root_value[0]) > 0.3
+    # noise must perturb the root priors vs the noise-free run
+    _, _, priors0 = jax.jit(
+        lambda s, k: mcts_search(core, policy.apply, params, s, k,
+                                 num_sims=4, c_puct=1.41, max_depth=8)
+    )(state, jax.random.key(1))
+    _, _, priors1 = jax.jit(
+        lambda s, k: mcts_search(core, policy.apply, params, s, k,
+                                 num_sims=4, c_puct=1.41, max_depth=8,
+                                 noise_eps=0.25)
+    )(state, jax.random.key(1))
+    assert not np.allclose(np.asarray(priors0), np.asarray(priors1))
+
+
+def test_collect_mcts_temperature_drop():
+    """After temperature_drop moves, sampled actions equal argmax(visits)."""
+    from qiskit_gym_tpu.rl.az import collect_mcts
+
+    env, policy = _env_and_policy(max_depth=8)
+    core = env.core
+    params = policy.init(jax.random.key(0))
+    state = core.reset(jax.random.key(1), 8, 2)
+    final, traj = jax.jit(
+        lambda s, k: collect_mcts(core, policy.apply, params, s, k, T=4,
+                                  num_sims=16, c_puct=1.41,
+                                  temperature_drop=0)
+    )(state, jax.random.key(2))
+    assert traj.action.shape == (4, 8)
+    final2, traj2 = jax.jit(
+        lambda s, k: collect_mcts(core, policy.apply, params, s, k, T=4,
+                                  num_sims=16, c_puct=1.41,
+                                  temperature_drop=1)
+    )(state, jax.random.key(2))
+    # moves t>=1 must be the argmax of that step's visit distribution
+    acts = np.asarray(traj2.action)[1:]
+    probs = np.asarray(traj2.visit_probs)[1:]
+    assert (acts == probs.argmax(-1)).all()
+
+
+def test_az_config_exploration_knobs_json(tmp_path):
+    cfg = AlphaZeroConfig(num_mcts_searches=8)
+    j = cfg.to_json()
+    # defaults are omitted: byte-compatible with the reference schema
+    assert "root_noise_eps" not in j["collecting"]
+    assert "temperature_drop" not in j["collecting"]
+    cfg2 = AlphaZeroConfig(num_mcts_searches=8, root_noise_eps=0.25,
+                           temperature_drop=6, dirichlet_alpha=0.5,
+                           temperature=0.8)
+    j2 = cfg2.to_json()
+    assert j2["collecting"]["root_noise_eps"] == 0.25
+    back = AlphaZeroConfig.from_json(j2)
+    assert back.root_noise_eps == 0.25
+    assert back.temperature_drop == 6
+    assert back.dirichlet_alpha == 0.5
+    assert back.temperature == 0.8
