@@ -69,6 +69,9 @@ def main():
     report["az_perm_grid_3x3 (MCTS-64, 2 searches)"] = eval_artifact(
         "az_perm_grid_3x3", [4, 8, 16], num_episodes=64, num_searches=2,
         mcts=64)
+    report["az_perm_heavy_hex_27q (MCTS-96, 1 search)"] = eval_artifact(
+        "az_perm_heavy_hex_27q", [4, 8], num_episodes=64, num_searches=1,
+        mcts=96)
 
     lines = ["# Solve quality (shipped artifacts, one v5e chip)", "",
              "Scrambles drawn by the env at each difficulty; solve rate over",

@@ -368,13 +368,25 @@ class PauliGym(BaseSynthesisEnv):
             replay.step(int(a))
         return replay.solution()
 
-    def get_state(self, input, rotations: Optional[List[str]] = None) -> List[int]:
+    def get_state(self, input, rotations: Optional[List[str]] = None,
+                  rotation_params: Optional[List[float]] = None) -> List[int]:
+        """Encode a target. Accepts a Circuit, a Clifford (+ optional
+        `rotations` labels), or a (Clifford, rotations[, params]) tuple.
+        Rotation angles are taken from the circuit when the input is a
+        Circuit; for label-based inputs pass `rotation_params` (or a third
+        tuple element) — the reference only stores angles for circuit inputs
+        (reference envs/synthesis.py:411-412), this extends that to
+        tuple/label inputs so build_circuit_from_solution can reconstruct
+        parametric rotations for them too."""
         input = _maybe_from_qiskit(input)
         if isinstance(input, tuple):
-            clifford, rotations = input
+            if len(input) == 3:
+                clifford, rotations, rotation_params = input
+            else:
+                clifford, rotations = input
             clifford = _maybe_from_qiskit(clifford)
             clifford_for_state = Clifford(clifford)
-            self._rotation_params = []
+            self._rotation_params = list(rotation_params or [])
             self._original_circuit = None
         elif isinstance(input, Circuit):
             clifford, rotations, params = _parse_pauli_circuit(input)
@@ -384,7 +396,7 @@ class PauliGym(BaseSynthesisEnv):
         elif isinstance(input, Clifford):
             clifford_for_state = input.adjoint()
             rotations = rotations or []
-            self._rotation_params = []
+            self._rotation_params = list(rotation_params or [])
             self._original_circuit = None
         else:
             raise ValueError(f"Unsupported input type: {type(input)}")

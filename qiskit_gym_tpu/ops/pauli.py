@@ -191,6 +191,18 @@ class PauliEnvCore:
             for k, (c, _, _) in enumerate(_primitive_sequence(g))
             if c == P_CNOT
         })
+        # per-slot static type presence: which primitive kinds occur at slot
+        # k across the whole gateset — the unrolled step only emits the ops a
+        # slot can need (e.g. heavy-hex slots 3-8 carry only SXdg/Sdg H/S
+        # primitives, no CNOT, hence no cleanup sweep)
+        self.slot_types = []
+        for k in range(self.max_prims):
+            kinds = set()
+            for g in self.gateset:
+                seq = _primitive_sequence(g)
+                if k < len(seq):
+                    kinds.add(seq[k][0])
+            self.slot_types.append(kinds)
 
         mt = MetricsTables.build(self.gateset)
         self.mtype = jnp.asarray(np.concatenate([mt.mtype, [MT_1Q]]))
@@ -306,7 +318,7 @@ class PauliEnvCore:
         p1 = self.pq1[action]
         p2 = self.pq2[action]
 
-        def slot(k, carry):
+        def slot(k, carry, with_cleanup):
             rx, rz, ph, active, removed = carry
             c = pt[:, k]
             a = p1[:, k]
@@ -320,7 +332,6 @@ class PauliEnvCore:
             xa = jnp.sum(jnp.where(oh_a, rx, 0), axis=-1)   # [B, R]
             za = jnp.sum(jnp.where(oh_a, rz, 0), axis=-1)
             xb = jnp.sum(jnp.where(oh_b, rx, 0), axis=-1)
-            zb = jnp.sum(jnp.where(oh_b, rz, 0), axis=-1)
 
             # H(a): swap x_a <-> z_a ; phase += 2 x_a z_a
             rx_h = jnp.where(oh_a, rz, rx)
@@ -339,21 +350,31 @@ class PauliEnvCore:
             ph = jnp.where(c[:, None] == P_H, ph_h,
                  jnp.where(c[:, None] == P_S, ph_s, ph)) % 4
 
-            # cleanup after CNOT slots (masked; a fori over the gateset's
-            # true primitive depth compiles leaner than a static unroll —
-            # measured on v5e)
-            new_active, rem = self._cleanup(rx, rz, active, state.anti)
-            iscx_b = (c == P_CNOT)
-            active = jnp.where(iscx_b[:, None], new_active, active)
-            removed = removed + jnp.where(iscx_b, rem, 0)
+            if with_cleanup:
+                new_active, rem = self._cleanup(rx, rz, active, state.anti)
+                iscx_b = (c == P_CNOT)
+                active = jnp.where(iscx_b[:, None], new_active, active)
+                removed = removed + jnp.where(iscx_b, rem, 0)
             return rx, rz, ph, active, removed
 
         removed0 = jnp.zeros(state.batch, jnp.int32)
-        rx, rz, ph, active, removed = jax.lax.fori_loop(
-            0, self.max_prims, slot,
-            (state.rx.astype(jnp.int32), state.rz.astype(jnp.int32),
-             state.rphase.astype(jnp.int32), state.active, removed0),
-        )
+        carry = (state.rx.astype(jnp.int32), state.rz.astype(jnp.int32),
+                 state.rphase.astype(jnp.int32), state.active, removed0)
+        # two masked fori phases (a fori compiles leaner than a full static
+        # unroll — measured on v5e): CNOT-capable slots run the trivial
+        # sweep; tail slots (e.g. SXdg's trailing H/S primitives) never
+        # contain a CNOT across the gateset, so theirs is dead code
+        n_cx_slots = (max(self.cleanup_slots) + 1) if self.cleanup_slots else 0
+        if self.cleanup_slots and self.cleanup_slots != list(
+                range(n_cx_slots)):
+            n_cx_slots = self.max_prims  # non-prefix CNOT slots: sweep all
+        carry = jax.lax.fori_loop(
+            0, n_cx_slots, lambda k, cy: slot(k, cy, True), carry)
+        if n_cx_slots < self.max_prims:
+            carry = jax.lax.fori_loop(
+                n_cx_slots, self.max_prims,
+                lambda k, cy: slot(k, cy, False), carry)
+        rx, rz, ph, active, removed = carry
         return (rx.astype(jnp.int8), rz.astype(jnp.int8),
                 ph.astype(jnp.int8), active, removed)
 

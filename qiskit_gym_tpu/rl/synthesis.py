@@ -137,13 +137,17 @@ class RLSynthesis:
     def learn(self, initial_difficulty: int = 1, num_iterations: int = int(1e10),
               tb_path: Optional[str] = None):
         if tb_path is not None:
+            from qiskit_gym_tpu.utils.logging import JsonlLogger, MultiWriter
+
             self.algorithm.run_path = tb_path
+            writers = [JsonlLogger(tb_path)]
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
-                self.algorithm.tb_writer = SummaryWriter(tb_path)
+                writers.append(SummaryWriter(tb_path))
             except Exception:
-                self.algorithm.tb_writer = None
+                pass  # torch-free environments still get metrics.jsonl
+            self.algorithm.tb_writer = MultiWriter(*writers)
         self.env.difficulty = initial_difficulty
         try:
             self.algorithm.learn(num_iterations)

@@ -204,3 +204,48 @@ def test_curriculum_advances():
                                                   common_layers=[32]))
     rls.learn(initial_difficulty=1, num_iterations=8)
     assert env.difficulty > 1, "curriculum never advanced on a 3-qubit line"
+
+
+def test_learn_writes_jsonl_metrics(tmp_path):
+    """tb_path always yields a metrics.jsonl, with or without torch."""
+    import json as _json
+
+    from qiskit_gym_tpu.envs import PermutationGym
+    from qiskit_gym_tpu.rl import RLSynthesis
+    from qiskit_gym_tpu.rl.configs import (BasicPolicyConfig, EvalConfig,
+                                           PPOConfig)
+
+    env = PermutationGym.from_coupling_map([(0, 1), (1, 2)], max_depth=8,
+                                           add_inverts=False)
+    cfg = PPOConfig(num_episodes=8, num_epochs=1,
+                    evals={"ppo_deterministic": EvalConfig(num_episodes=4)})
+    rls = RLSynthesis(env, cfg, BasicPolicyConfig(embedding_size=16,
+                                                  common_layers=[8]))
+    run = str(tmp_path / "run")
+    rls.learn(num_iterations=2, tb_path=run)
+    rls.algorithm.tb_writer.close()
+    lines = [
+        _json.loads(x)
+        for x in open(run + "/metrics.jsonl").read().splitlines() if x
+    ]
+    assert len(lines) == 2
+    assert {"step", "loss", "difficulty"} <= set(lines[0].keys())
+    assert any(k.startswith("eval/") for k in lines[0])
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax directory checkpoints round-trip (sharding-aware format)."""
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+
+    from qiskit_gym_tpu.models import make_policy
+    from qiskit_gym_tpu.utils.serialization import load_params, save_params
+
+    policy = make_policy("qiskit_gym_tpu.models.BasicPolicy", (3, 3), 4,
+                         {"embedding_size": 8, "common_layers": [4]})
+    params = policy.init(jax.random.key(0))
+    path = str(tmp_path / "ckpt.orbax")
+    save_params(params, path)
+    loaded = load_params(path, template=params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
