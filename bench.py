@@ -68,7 +68,7 @@ def bench_core(core, B: int, K: int, repeats: int = 3) -> float:
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
     results = {}

@@ -6,11 +6,16 @@ linear: n x n, CX = row XOR; clifford: 2n x 2n phase-less symplectic;
 reference semantics rust/src/envs/{permutation,linear_function,clifford}.rs).
 
 TPU-first design (measured on v5e — see bench.py and docs/PERF.md):
-- State is DENSE int8 [B, D, D] (D = dim padded to a multiple of 8, identity
-  in the padding block). Applying per-env gate `a` uses the rank-2 form
-  G = I xor U S: source rows are extracted by one-hot masked sums and XORed
-  into destination rows — pure VPU traffic, no per-env gathers (lane-hostile,
-  60x slower) and no batched GEMM (MXU-setup-bound at these sizes).
+- Two state representations, chosen by matrix size:
+  * dim < 32: DENSE int8 [B, D, D] (D = dim padded to a multiple of 8,
+    identity in the padding block). The rank-2 form G = I xor U S applies as
+    one-hot masked sums + XOR — pure VPU traffic, no per-env gathers
+    (lane-hostile, 60x slower) and no batched GEMM (MXU-setup-bound here).
+  * dim >= 32: BITPACKED uint32, flat [B, W*dim] (rows packed 32-per-word,
+    columns as lanes). Source-row extraction is popcount-parity over the
+    word groups; the inverse's column combos are lane XOR-reduces. 8-16x
+    less physical state — measured 1.4x (27q) to 3.6x (127q) faster on
+    clifford; the dense path stays faster below the crossover.
 - Every gate here is an involution on the phase-less state (G^-1 = G), so the
   tracked inverse updates by RIGHT-multiplying the same terms:
   (G M)^-1 = M^-1 G. The reference's 50%-per-step random state inversion
@@ -165,6 +170,82 @@ def gate_rank2_terms(gate: Gate, num_qubits: int, kind: str, D: int):
     return U, S
 
 
+_FULL32 = np.uint32(0xFFFFFFFF)
+
+
+def pack_rows(M: np.ndarray, W: int) -> np.ndarray:
+    """[*, D, D] 0/1 -> [*, W, D] uint32; bit i of word g = row 32g + i."""
+    M = np.asarray(M)
+    out = np.zeros(M.shape[:-2] + (W, M.shape[-1]), np.uint32)
+    for d in range(M.shape[-2]):
+        out[..., d // 32, :] |= (M[..., d, :].astype(np.uint32) & 1) << (d % 32)
+    return out
+
+
+def pack_term_tables(Us, Ss, D: int):
+    """Stacked rank-term tables (lists of U [D, K], S [K, D] 0/1 per action)
+    -> packed forms for the bitpacked kernels: U32/S32 [A, K, W] uint32 word
+    masks over rows, Ulm/Slm [A, K, D] uint32 full-lane masks."""
+    A = len(Us)
+    K = max(u.shape[1] for u in Us)
+    W = (D + 31) // 32
+    U32 = np.zeros((A, K, W), np.uint32)
+    S32 = np.zeros((A, K, W), np.uint32)
+    Ulm = np.zeros((A, K, D), np.uint32)
+    Slm = np.zeros((A, K, D), np.uint32)
+    for ai, (U, S) in enumerate(zip(Us, Ss)):
+        for kk in range(U.shape[1]):
+            for d in range(D):
+                if U[d, kk]:
+                    U32[ai, kk, d // 32] |= np.uint32(1) << (d % 32)
+                    Ulm[ai, kk, d] = _FULL32
+                if S[kk, d]:
+                    S32[ai, kk, d // 32] |= np.uint32(1) << (d % 32)
+                    Slm[ai, kk, d] = _FULL32
+    return U32, S32, Ulm, Slm
+
+
+def packed_apply_left(U32, S32, a, W: int, D: int):
+    """a' = (I xor U S) a on bitpacked state a [B, W*D] uint32.
+
+    Per term k: the source-row combination is the popcount-parity of the
+    masked word groups; the result XORs into the destination rows via a
+    broadcast word mask. U32/S32 are the per-env gathered [B, K, W] tables."""
+    B = a.shape[0]
+    a3 = a.reshape(B, W, D)
+    acc = None
+    for k in range(U32.shape[1]):
+        pc = jax.lax.population_count(a3 & S32[:, k, :, None])
+        r = (jnp.sum(pc, axis=1) & 1).astype(jnp.uint32)           # [B, D]
+        rm = jnp.where(r != 0, _FULL32, np.uint32(0))
+        term = U32[:, k, :, None] & rm[:, None, :]
+        acc = term if acc is None else acc ^ term
+    return (a3 ^ acc).reshape(B, W * D)
+
+
+def unpack_rows(a, W: int, D: int, rows: int):
+    """Bitpacked [B, W*D] uint32 -> dense uint8 [B, rows, D]."""
+    B = a.shape[0]
+    a3 = a.reshape(B, W, D)
+    bits = (a3[:, :, None, :] >> jnp.arange(
+        32, dtype=jnp.uint32)[None, None, :, None]) & 1
+    return bits.reshape(B, W * 32, D)[:, :rows, :].astype(jnp.uint8)
+
+
+def packed_apply_right(Ulm, Slm, m, W: int, D: int):
+    """m' = m (I xor U S) on bitpacked state m [B, W*D] uint32: column
+    combos via lane XOR-reduce, scattered back through the S lane masks."""
+    B = m.shape[0]
+    m3 = m.reshape(B, W, D)
+    acc = None
+    for k in range(Ulm.shape[1]):
+        c = jax.lax.reduce(m3 & Ulm[:, k, None, :], np.uint32(0),
+                           jax.lax.bitwise_xor, (2,))              # [B, W]
+        term = c[:, :, None] & Slm[:, k, None, :]
+        acc = term if acc is None else acc ^ term
+    return (m3 ^ acc).reshape(B, W * D)
+
+
 def rank_terms_apply_left(U, S, a):
     """a' = (I xor U S) a over GF(2) in VPU masked-sum form.
 
@@ -225,6 +306,7 @@ class MatrixEnvCore:
         metrics_weights: Optional[dict] = None,
         add_inverts: bool = True,
         scramble_cap: int = 256,
+        bitpack: Optional[bool] = None,  # default: dim >= 32 (measured)
     ):
         assert kind in ("permutation", "linear", "clifford")
         self.kind = kind
@@ -236,28 +318,42 @@ class MatrixEnvCore:
         self.max_depth = int(max_depth)
         self.add_inverts = bool(add_inverts)
         self.scramble_cap = int(scramble_cap)
-        self.weights = jnp.asarray(
-            MetricsWeights.from_dict(metrics_weights).as_array()
-        )
+        _w = MetricsWeights.from_dict(metrics_weights).as_array()
+        self.weights = jnp.asarray(_w)
+        self.weights_static = tuple(float(x) for x in _w)
 
         # rank-2 term tables: every gate is G = I xor U S with U [D, 2] dest
         # one-hot combos and S [2, D] source selectors; index A (one past the
         # end) is the all-zero no-op used for masked scramble steps. The
         # production step applies G via VPU masked-row-sum + XOR (fastest
         # measured variant; see docs/PERF.md for the GEMM/Pallas history).
+        self.bitpack = bool(bitpack) if bitpack is not None else (
+            self.dim >= 32)
+        Dr = self.dim if self.bitpack else self.D   # packed rep needs no pad
         Us, Ss = [], []
         for g in self.gateset:
-            U, S = gate_rank2_terms(g, self.num_qubits, kind, self.D)
-            G = gate_matrix(g, self.num_qubits, kind, self.D)
-            G2 = (np.eye(self.D, dtype=np.int64) + U.astype(np.int64) @ S) % 2
+            U, S = gate_rank2_terms(g, self.num_qubits, kind, Dr)
+            G = gate_matrix(g, self.num_qubits, kind, Dr)
+            G2 = (np.eye(Dr, dtype=np.int64) + U.astype(np.int64) @ S) % 2
             assert np.array_equal(G, G2), (
                 f"rank-2 terms disagree with sequential row-ops for {g}")
             Us.append(U)
             Ss.append(S)
-        Us.append(np.zeros((self.D, 2), np.int8))
-        Ss.append(np.zeros((2, self.D), np.int8))
-        self.Ug = jnp.asarray(np.stack(Us))                 # [A+1, D, 2]
-        self.Sg = jnp.asarray(np.stack(Ss))                 # [A+1, 2, D]
+        Us.append(np.zeros((Dr, 2), np.int8))
+        Ss.append(np.zeros((2, Dr), np.int8))
+        if self.bitpack:
+            self.W = (Dr + 31) // 32
+            self.L = self.W * Dr
+            U32, S32, Ulm, Slm = pack_term_tables(Us, Ss, Dr)
+            self.U32 = jnp.asarray(U32)                 # [A+1, 2, W]
+            self.S32 = jnp.asarray(S32)
+            self.Ulm = jnp.asarray(Ulm)                 # [A+1, 2, D] masks
+            self.Slm = jnp.asarray(Slm)
+            I = np.eye(Dr, dtype=np.uint8)
+            self.ident_pk = jnp.asarray(pack_rows(I, self.W).reshape(self.L))
+        else:
+            self.Ug = jnp.asarray(np.stack(Us))         # [A+1, D, 2]
+            self.Sg = jnp.asarray(np.stack(Ss))         # [A+1, 2, D]
         mt = MetricsTables.build(self.gateset)
         # identity action is metrics-neutral: type 1Q on a dummy qubit slot
         self.mtype = jnp.asarray(np.concatenate([mt.mtype, [MT_1Q]]))
@@ -279,13 +375,19 @@ class MatrixEnvCore:
     def apply_gates(self, a, ainv, action):
         """One batched step via the rank-2 form G = I xor U S.
 
-        Left-mult a' = a ^ U (S a): the two source rows are extracted with
-        one-hot masked sums over the sublane axis (no per-env gathers — those
-        are lane-hostile on TPU) and XORed into the destination rows via
-        broadcast AND. Right-mult ainv' = ainv ^ (ainv U) S mirrors it along
-        the lane axis. Pure VPU elementwise + reduction work; measured ~30-40%
-        faster than the per-action gate-matrix batched GEMM at D in [32, 56]
-        (docs/PERF.md)."""
+        Dense path — left-mult a' = a ^ U (S a): the two source rows are
+        extracted with one-hot masked sums over the sublane axis (no per-env
+        gathers — those are lane-hostile on TPU) and XORed into the
+        destination rows via broadcast AND. Right-mult
+        ainv' = ainv ^ (ainv U) S mirrors it along the lane axis. Pure VPU
+        elementwise + reduction work; measured ~30-40% faster than the
+        per-action gate-matrix batched GEMM at D in [32, 56] (docs/PERF.md).
+
+        Bitpacked path — same math on [B, W*D] uint32: source-row combos via
+        popcount-parity over the word groups, inverse column combos via lane
+        XOR-reduce, updates as broadcast AND-masks + XOR."""
+        if self.bitpack:
+            return self._apply_gates_packed(a, ainv, action)
         U = self.Ug[action]  # [B, D, 2] int8
         S = self.Sg[action]  # [B, 2, D] int8
         new_a = rank_terms_apply_left(U, S, a)
@@ -296,11 +398,45 @@ class MatrixEnvCore:
         new_ainv = rank_terms_apply_right(U, S, ainv)
         return new_a, new_ainv
 
+    def _apply_gates_packed(self, a, ainv, action):
+        new_a = packed_apply_left(self.U32[action], self.S32[action],
+                                  a, self.W, self.dim)
+        if not self.add_inverts:
+            return new_a, ainv
+        new_ainv = packed_apply_right(self.Ulm[action], self.Slm[action],
+                                      ainv, self.W, self.dim)
+        return new_a, new_ainv
+
     def _solved(self, a) -> jnp.ndarray:
+        if self.bitpack:
+            return jnp.all(a == self.ident_pk[None], axis=1)
         return jnp.all(a == self.ident[None], axis=(1, 2))
 
     # -------------------------------------------------------------- metrics
+    # The fused Pallas metrics kernel (ops/pallas_metrics.py) is equivalence-
+    # tested but DISABLED by default: measured SLOWER than the XLA lowering
+    # (custom-call dispatch dominates at [B, n]-sized operands; docs/PERF.md).
+    use_pallas_metrics: bool = False
+
     def _metrics_update(self, state: MatrixEnvState, action):
+        if self.use_pallas_metrics:
+            from .pallas_metrics import metrics_update_pallas
+
+            scal = jnp.stack([
+                state.max_g, state.max_c, state.n_cnots, state.n_gates,
+                self.mtype[action], self.mq1[action], self.mq2[action],
+                (action == self.noop_action).astype(jnp.int32),
+            ], axis=1)
+            g, c, s, pen = metrics_update_pallas(
+                state.last_g, state.last_c, scal, self.weights_static
+            )
+            return state._replace(
+                last_g=g, last_c=c, max_g=s[:, 0], max_c=s[:, 1],
+                n_cnots=s[:, 2], n_gates=s[:, 3],
+            ), pen
+        return self._metrics_update_xla(state, action)
+
+    def _metrics_update_xla(self, state: MatrixEnvState, action):
         n = self.num_qubits
         mtype = self.mtype[action]                     # [B]
         q1 = self.mq1[action]
@@ -386,7 +522,7 @@ class MatrixEnvCore:
                 flip = jax.random.bernoulli(key, 0.5, (state.batch,))
             else:
                 flip = invert_override
-            f3 = flip[:, None, None]
+            f3 = flip.reshape(flip.shape + (1,) * (new_a.ndim - 1))
             new_a, new_ainv = (
                 jnp.where(f3, new_ainv, new_a),
                 jnp.where(f3, new_a, new_ainv),
@@ -406,7 +542,10 @@ class MatrixEnvCore:
     # ---------------------------------------------------------------- reset
     def _fresh(self, B: int) -> MatrixEnvState:
         n = self.num_qubits
-        ident = jnp.tile(self.ident[None], (B, 1, 1))
+        if self.bitpack:
+            ident = jnp.tile(self.ident_pk[None], (B, 1))
+        else:
+            ident = jnp.tile(self.ident[None], (B, 1, 1))
         return MatrixEnvState(
             a=ident,
             ainv=ident,
@@ -492,10 +631,15 @@ class MatrixEnvCore:
         B = dense.shape[0]
         inv = np.stack([gf2_inverse(m) for m in dense]).astype(np.int8)
         state = self._fresh(B)
-        a = jnp.asarray(self._pad(dense))
+        if self.bitpack:
+            a = jnp.asarray(pack_rows(dense, self.W).reshape(B, self.L))
+            ainv = jnp.asarray(pack_rows(inv, self.W).reshape(B, self.L))
+        else:
+            a = jnp.asarray(self._pad(dense))
+            ainv = jnp.asarray(self._pad(inv))
         success = self._solved(a)
         return state._replace(
-            a=a, ainv=jnp.asarray(self._pad(inv)),
+            a=a, ainv=ainv,
             depth=jnp.full(B, self.max_depth, jnp.int32),
             success=success,
             reward=success.astype(jnp.float32),
@@ -504,11 +648,13 @@ class MatrixEnvCore:
     # -------------------------------------------------------------- observe
     def dense(self, state: MatrixEnvState) -> jnp.ndarray:
         """uint8 [B, dim, dim] current matrices."""
+        if self.bitpack:
+            return unpack_rows(state.a, self.W, self.dim, self.dim)
         return state.a[:, : self.dim, : self.dim].astype(jnp.uint8)
 
     def observe(self, state: MatrixEnvState, dtype=jnp.float32) -> jnp.ndarray:
         """Policy observation: [B, dim, dim] in the requested float dtype."""
-        return state.a[:, : self.dim, : self.dim].astype(dtype)
+        return self.dense(state).astype(dtype)
 
     def masks(self, state: MatrixEnvState) -> jnp.ndarray:
         """bool [B, A]: all actions legal unless already solved."""

@@ -3,10 +3,12 @@
 Reference semantics: rust/src/envs/pauli.rs + rust/src/pauli/* (re-derived;
 the spec twin is spec/pauli_env.py). Fixed-shape design:
 
-- Tableau block: dense int8 [B, D2, D2] updated per step with the action's
-  NET gate matrix (the product of its primitive row-ops, using the Pauli
-  network's transposed-index cnot convention) in factorized I xor U S form
-  via the VPU masked-sum kernel (ops/matrix_env.rank_terms_apply_left).
+- Tableau block: BITPACKED uint32 [B, W2 * D2] (rows packed 32-per-word),
+  updated per step with the action's NET gate matrix (the product of its
+  primitive row-ops, using the Pauli network's transposed-index cnot
+  convention) in factorized I xor U S form via the packed popcount-parity
+  kernel (ops/matrix_env.packed_apply_left); the 70/15/15 reset scramble
+  uses the same kernel with per-primitive term tables.
 - Rotations: (x, z) bits int8 [B, R, n] + phase mod 4 [B, R], evolved through
   the action's primitive sequence (<= 9 H/S/CNOT slots; composite gates like
   SXdg = (HSH)^3 expand exactly as the reference applies them), because phase
@@ -43,7 +45,8 @@ from qiskit_gym_tpu.spec.pauli_env import graph_distances
 from qiskit_gym_tpu.spec.symmetry import compute_qubit_perms
 
 from .matrix_env import (MatrixEnvCore, _pad_dim, gf2_factor,
-                         rank_terms_apply_left)
+                         pack_rows, pack_term_tables, packed_apply_left,
+                         unpack_rows)
 from .tables import MT_1Q, MT_CX, MT_CZ, MT_SWAP, MetricsTables
 
 # primitive op codes
@@ -89,7 +92,7 @@ def _network_gate_matrix(gate, n: int, D2: int) -> np.ndarray:
 
 
 class PauliEnvState(NamedTuple):
-    tab: jnp.ndarray        # int8 [B, D2, D2]
+    tab: jnp.ndarray        # uint32 [B, W2 * D2] bitpacked (rows 32/word)
     rx: jnp.ndarray         # int8 [B, R, n]
     rz: jnp.ndarray         # int8 [B, R, n]
     rphase: jnp.ndarray     # int8 [B, R]  (mod 4)
@@ -148,27 +151,28 @@ class PauliEnvCore:
         self.pauli_layer_reward = float(pauli_layer_reward)
         self.add_inverts = False
         self.scramble_cap = int(scramble_cap)
-        self.weights = jnp.asarray(
-            MetricsWeights.from_dict(metrics_weights).as_array()
-        )
+        _w = MetricsWeights.from_dict(metrics_weights).as_array()
+        self.weights = jnp.asarray(_w)
+        self.weights_static = tuple(float(x) for x in _w)
 
         A = len(self.gateset)
-        # net tableau matrices factorized as G = I xor U S for the VPU
-        # masked-sum step (+ all-zero no-op terms at index A); every net
-        # matrix here has rank(G xor I) <= 2
+        # net tableau matrices factorized as G = I xor U S (+ all-zero no-op
+        # terms at index A) and BITPACKED: the tableau lives as uint32
+        # [B, W2 * D2] words (rows packed 32-per-word), updated by the packed
+        # popcount-parity kernel (ops/matrix_env.packed_apply_left) — the
+        # same representation that won on the Clifford env (docs/PERF.md)
         mats = [_network_gate_matrix(g, n, self.D2) for g in self.gateset]
         mats.append(np.eye(self.D2, dtype=np.uint8))
         eye = np.eye(self.D2, dtype=np.uint8)
         facs = [gf2_factor(G ^ eye) for G in mats]
-        Kmax = max(U.shape[1] for U, _ in facs)
-        Us = np.zeros((A + 1, self.D2, Kmax), np.int8)
-        Ss = np.zeros((A + 1, Kmax, self.D2), np.int8)
-        for i, (U, S) in enumerate(facs):
-            r = U.shape[1]
-            Us[i, :, :r] = U
-            Ss[i, :r, :] = S
-        self.Ug = jnp.asarray(Us)
-        self.Sg = jnp.asarray(Ss)
+        self.W2 = (self.D2 + 31) // 32
+        self.L2 = self.W2 * self.D2
+        U32, S32, _, _ = pack_term_tables(
+            [U for U, _ in facs], [S for _, S in facs], self.D2)
+        self.U32 = jnp.asarray(U32)
+        self.S32 = jnp.asarray(S32)
+        self.ident_pk = jnp.asarray(
+            pack_rows(eye, self.W2).reshape(self.L2))
         self.noop_action = A
 
         # primitive tables [A+1, MAX_PRIMS]
@@ -208,7 +212,6 @@ class PauliEnvCore:
         self.mtype = jnp.asarray(np.concatenate([mt.mtype, [MT_1Q]]))
         self.mq1 = jnp.asarray(np.concatenate([mt.q1, [0]]))
         self.mq2 = jnp.asarray(np.concatenate([mt.q2, [0]]))
-        self.ident = jnp.asarray(np.eye(self.D2, dtype=np.int8))
 
         # symmetry: qubit automorphisms as one-hot matrices + action perms
         if add_perms:
@@ -271,7 +274,12 @@ class PauliEnvCore:
             G[n + q] ^= G[q]
             prim.append(G)
         prim.append(np.eye(self.D2, dtype=np.uint8))  # no-op
-        self.scramble_mats = jnp.asarray(np.stack(prim).astype(np.int8))
+        sc_facs = [gf2_factor(G ^ eye) for G in prim]
+        scU32, scS32, _, _ = pack_term_tables(
+            [U for U, _ in sc_facs], [S for _, S in sc_facs], self.D2)
+        self.scU32 = jnp.asarray(scU32)
+        self.scS32 = jnp.asarray(scS32)
+        self.n_scramble = len(prim)
 
     # ------------------------------------------------------------ properties
     @property
@@ -379,8 +387,10 @@ class PauliEnvCore:
                 ph.astype(jnp.int8), active, removed)
 
     # metrics: shares the closed-form running-max kernel with MatrixEnvCore
-    # (same state fields and per-action tables)
+    # (same state fields and per-action tables, incl. the fused Pallas path)
+    use_pallas_metrics = MatrixEnvCore.use_pallas_metrics
     _metrics_update = MatrixEnvCore._metrics_update
+    _metrics_update_xla = MatrixEnvCore._metrics_update_xla
 
     def translate_action(self, state: PauliEnvState, action):
         """Policy-frame -> env-frame action through the active automorphism."""
@@ -398,9 +408,8 @@ class PauliEnvCore:
         actual = self.translate_action(state, action)
         state, penalty = self._metrics_update(state, actual)
 
-        new_tab = rank_terms_apply_left(
-            self.Ug[actual], self.Sg[actual], state.tab
-        )
+        new_tab = packed_apply_left(self.U32[actual], self.S32[actual],
+                                    state.tab, self.W2, self.D2)
 
         rx, rz, ph, active, removed = self._apply_primitives(state, actual)
 
@@ -423,14 +432,14 @@ class PauliEnvCore:
 
     def _solved(self, tab, active):
         return (~active.any(axis=-1)) & jnp.all(
-            tab == self.ident[None], axis=(1, 2)
+            tab == self.ident_pk[None], axis=1
         )
 
     # ---------------------------------------------------------------- reset
     def _fresh(self, B: int) -> PauliEnvState:
         n = self.num_qubits
         return PauliEnvState(
-            tab=jnp.tile(self.ident[None], (B, 1, 1)),
+            tab=jnp.tile(self.ident_pk[None], (B, 1)),
             rx=jnp.zeros((B, self.RT, n), jnp.int8),
             rz=jnp.zeros((B, self.RT, n), jnp.int8),
             rphase=jnp.zeros((B, self.RT), jnp.int8),
@@ -571,7 +580,7 @@ class PauliEnvCore:
         """70% CX / 15% H / 15% S row-op scramble (reference pauli.rs:220-271)."""
         n = self.num_qubits
         ncx = self.n_scramble_cx
-        noop = self.scramble_mats.shape[0] - 1
+        noop = self.n_scramble - 1
         static_diff = isinstance(difficulty, (int, np.integer))
         K = int(difficulty) if static_diff else self.scramble_cap
         K = max(K, 1)
@@ -588,14 +597,12 @@ class PauliEnvCore:
             mask = jnp.arange(K)[None, :] < jnp.asarray(difficulty)
             idx = jnp.where(mask, idx, noop)
 
-        tab0 = jnp.tile(self.ident[None], (B, 1, 1))
+        tab0 = jnp.tile(self.ident_pk[None], (B, 1))
 
         def body(i, tab):
-            g = self.scramble_mats[idx[:, i]]
-            return (jax.lax.dot_general(
-                g, tab, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32,
-            ) & 1).astype(jnp.int8)
+            a = idx[:, i]
+            return packed_apply_left(self.scU32[a], self.scS32[a], tab,
+                                     self.W2, self.D2)
 
         return jax.lax.fori_loop(0, K, body, tab0)
 
@@ -645,8 +652,9 @@ class PauliEnvCore:
         B = tableaus.shape[0]
         n = self.num_qubits
         state = self._fresh(B)
-        tab = np.tile(np.eye(self.D2, dtype=np.int8), (B, 1, 1))
-        tab[:, : self.dim, : self.dim] = (tableaus != 0).astype(np.int8)
+        tab = np.tile(np.eye(self.D2, dtype=np.uint8), (B, 1, 1))
+        tab[:, : self.dim, : self.dim] = (tableaus != 0).astype(np.uint8)
+        tab = pack_rows(tab, self.W2).reshape(B, self.L2)
 
         rx = np.zeros((B, self.RT, n), np.int8)
         rz = np.zeros((B, self.RT, n), np.int8)
@@ -678,7 +686,8 @@ class PauliEnvCore:
         columns compacted left (reference pad_and_collect + apply_perm_to_obs)."""
         n = self.num_qubits
         B = state.batch
-        tab = state.tab[:, : self.dim, : self.dim]
+        tab = unpack_rows(state.tab, self.W2, self.D2, self.dim)[
+            :, :, : self.dim].astype(jnp.int8)
         # rotation columns [B, 2n, R] from bits
         cols = jnp.concatenate(
             [jnp.swapaxes(state.rx, 1, 2), jnp.swapaxes(state.rz, 1, 2)], axis=1

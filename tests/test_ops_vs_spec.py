@@ -254,3 +254,66 @@ def test_observe_and_masks():
     assert np.asarray(state.success).all()
     m = np.asarray(core.masks(state))
     assert m.shape == (3, len(gs)) and not m.any()
+
+
+def test_bitpack_matches_dense_representation():
+    """Both state representations (dense int8 / bitpacked uint32) produce
+    identical episodes given identical injected randomness."""
+    from qiskit_gym_tpu.ops.matrix_env import MatrixEnvCore
+
+    gateset = []
+    edges = [(i, i + 1) for i in range(26)]
+    for name in ("H", "S", "Sdg", "SX", "SXdg"):
+        gateset += [(name, [q]) for q in range(27)]
+    for name in ("CX", "CZ", "SWAP"):
+        gateset += [(name, list(e)) for e in edges]
+    mk = lambda bp: MatrixEnvCore(27, gateset, "clifford", max_depth=64,
+                                  bitpack=bp)
+    cd, cb = mk(False), mk(True)
+    assert not cd.bitpack and cb.bitpack
+    B = 16
+    key = jax.random.key(0)
+    s1 = jax.jit(cd.reset, static_argnums=(1, 2))(key, B, 6)
+    s2 = jax.jit(cb.reset, static_argnums=(1, 2))(key, B, 6)
+    st1, st2 = jax.jit(cd.step), jax.jit(cb.step)
+    rng = np.random.default_rng(1)
+    for t in range(30):
+        act = jnp.asarray(rng.integers(0, cd.num_actions, B), jnp.int32)
+        kk = jax.random.key(100 + t)
+        fl = jnp.asarray(rng.integers(0, 2, B).astype(bool))
+        s1 = st1(s1, act, kk, invert_override=fl)
+        s2 = st2(s2, act, kk, invert_override=fl)
+        assert np.array_equal(np.asarray(cd.dense(s1)),
+                              np.asarray(cb.dense(s2))), t
+    assert np.array_equal(np.asarray(s1.success), np.asarray(s2.success))
+    assert np.allclose(np.asarray(s1.reward), np.asarray(s2.reward))
+
+
+def test_pallas_metrics_matches_xla():
+    """The fused Pallas metrics kernel (interpret mode) matches the XLA
+    lowering bit-for-bit (kept as a measured-slower-on-v5e baseline)."""
+    from qiskit_gym_tpu.ops.matrix_env import MatrixEnvCore
+    from qiskit_gym_tpu.ops.pallas_metrics import metrics_update_pallas
+
+    gateset = [("CX", [0, 1]), ("CX", [1, 0]), ("SWAP", [0, 1]),
+               ("CZ", [0, 1]), ("H", [0]), ("S", [1])]
+    core = MatrixEnvCore(2, gateset, "clifford")
+    s = core.reset(jax.random.key(0), 16, 4)
+    rng = np.random.default_rng(0)
+    for t in range(6):
+        s = core.step(s, jnp.asarray(rng.integers(0, 6, 16)),
+                      jax.random.key(t))
+    act = jnp.asarray(rng.integers(0, 7, 16))  # includes the noop index
+    s1, p1 = core._metrics_update_xla(s, act)
+    scal = jnp.stack([s.max_g, s.max_c, s.n_cnots, s.n_gates,
+                      core.mtype[act], core.mq1[act], core.mq2[act],
+                      (act == core.noop_action).astype(jnp.int32)], axis=1)
+    g, c, sc, pen = metrics_update_pallas(s.last_g, s.last_c, scal,
+                                          core.weights_static, interpret=True)
+    assert np.array_equal(np.asarray(g), np.asarray(s1.last_g))
+    assert np.array_equal(np.asarray(c), np.asarray(s1.last_c))
+    assert np.array_equal(np.asarray(sc[:, 0]), np.asarray(s1.max_g))
+    assert np.array_equal(np.asarray(sc[:, 1]), np.asarray(s1.max_c))
+    assert np.array_equal(np.asarray(sc[:, 2]), np.asarray(s1.n_cnots))
+    assert np.array_equal(np.asarray(sc[:, 3]), np.asarray(s1.n_gates))
+    assert np.allclose(np.asarray(pen), np.asarray(p1))

@@ -75,3 +75,42 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_bitpacked_env_rollout():
+    """The bitpacked state representation shards and collects over the mesh
+    (env batch over dp) identically to single-device execution."""
+    from qiskit_gym_tpu.ops.matrix_env import MatrixEnvCore
+    from qiskit_gym_tpu.rl.rollout import collect
+
+    gateset = ([("H", [q]) for q in range(3)] + [("S", [q]) for q in range(3)]
+               + [("CX", [0, 1]), ("CX", [1, 2])])
+    core = MatrixEnvCore(3, gateset, "clifford", max_depth=8, bitpack=True)
+    assert core.bitpack
+    policy = make_policy(
+        "qiskit_gym_tpu.models.BasicPolicy", core.obs_shape,
+        core.num_actions, {"embedding_size": 16, "common_layers": [8]},
+    )
+    params = policy.init(jax.random.key(0))
+    mesh = make_mesh(8, mp=1)
+
+    def run(params, key):
+        k1, k2 = jax.random.split(key)
+        state = core.reset(k1, 32, 3)
+        final, traj = collect(core, policy.apply, params, state, k2, 6)
+        return final.success, traj.reward
+
+    plain_s, plain_r = jax.jit(run)(params, jax.random.key(5))
+
+    def run_sharded(params, key):
+        k1, k2 = jax.random.split(key)
+        state = core.reset(k1, 32, 3)
+        state = shard_env_state(mesh, state)
+        params_s = shard_params(mesh, params)
+        final, traj = collect(core, policy.apply, params_s, state, k2, 6)
+        return final.success, traj.reward
+
+    with mesh:
+        mesh_s, mesh_r = jax.jit(run_sharded)(params, jax.random.key(5))
+    assert np.array_equal(np.asarray(plain_s), np.asarray(mesh_s))
+    assert np.allclose(np.asarray(plain_r), np.asarray(mesh_r), atol=1e-5)
