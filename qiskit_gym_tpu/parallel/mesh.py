@@ -36,13 +36,16 @@ def make_mesh(
     return Mesh(grid, axis_names=tuple(axis_names))
 
 
-def shard_env_state(mesh: Mesh, state):
-    """Constrain every [B, ...] array in an env-state pytree to be sharded
-    over 'dp' on the leading axis."""
+def shard_env_state(mesh: Mesh, state, batch_axis: int = 0):
+    """Constrain every array in an env-state pytree to be sharded over 'dp'
+    on `batch_axis` (0 for [B, ...] live state; 1 for pooled [slots, B, ...]
+    reset stacks in rl/rollout.collect_packed)."""
 
     def constrain(x):
-        spec = P("dp", *([None] * (x.ndim - 1)))
-        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+        spec = [None] * x.ndim
+        spec[batch_axis] = "dp"
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree.map(constrain, state)
 

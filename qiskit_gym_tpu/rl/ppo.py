@@ -104,6 +104,7 @@ class PPO:
                 final_state, traj, stats = collect_packed(
                     self.core, self.policy.apply, params, k_roll, T, B,
                     difficulty, pool_slots=cfg.pack_pool_slots,
+                    mesh=self.mesh,
                 )
                 adv, returns = gae(traj, cfg.gamma, cfg.gae_lambda,
                                    last_value=stats["last_value"])

@@ -102,7 +102,7 @@ def collect(core, policy_apply, params, state, key, T: int,
 
 def collect_packed(core, policy_apply, params, key, T: int, B: int,
                    difficulty, pool_slots: int = 8,
-                   deterministic: bool = False):
+                   deterministic: bool = False, mesh=None):
     """Episode-packed rollout: lanes that finish are immediately refilled
     with a fresh reset, so every scan step does useful work (aligned
     `collect` freezes finished lanes — up to ~2x wasted steps at high
@@ -125,6 +125,12 @@ def collect_packed(core, policy_apply, params, key, T: int, B: int,
     pool = jax.tree.map(
         lambda x: x.reshape((pool_slots, B) + x.shape[1:]), pool
     )
+    if mesh is not None:
+        # keep pool slots replicated-by-slot but env lanes sharded over dp
+        # (axis 1 here), matching the live state's sharding
+        from qiskit_gym_tpu.parallel import shard_env_state
+
+        pool = shard_env_state(mesh, pool, batch_axis=1)
     state0 = jax.tree.map(lambda x: x[0], pool)
 
     gumbel = (jnp.zeros((T, B, A)) if deterministic

@@ -114,3 +114,24 @@ def test_sharded_bitpacked_env_rollout():
         mesh_s, mesh_r = jax.jit(run_sharded)(params, jax.random.key(5))
     assert np.array_equal(np.asarray(plain_s), np.asarray(mesh_s))
     assert np.allclose(np.asarray(plain_r), np.asarray(mesh_r), atol=1e-5)
+
+
+def test_sharded_packed_train_step():
+    """episode_packing composes with the dp mesh (pool sharded on axis 1)."""
+    mesh = make_mesh(8, mp=1)
+    env = CliffordGym.from_coupling_map(
+        [(0, 1), (1, 2)], basis_gates=("H", "S", "CX"), max_depth=8
+    )
+    policy = make_policy(
+        "qiskit_gym_tpu.models.BasicPolicy", env.obs_shape(),
+        env.num_actions(), {"embedding_size": 32, "common_layers": [16]},
+    )
+    cfg = PPOConfig(num_episodes=32, num_epochs=2, episode_packing=True,
+                    pack_pool_slots=4,
+                    evals={"ppo_deterministic": EvalConfig(num_episodes=8)})
+    algo = PPO(env, policy, cfg, mesh=mesh)
+    train = algo._make_train_step(8, 32)
+    p, o, m = train(algo.params, algo.opt_state, jax.random.key(0),
+                    jnp.int32(2))
+    jax.block_until_ready(p)
+    assert float(m["episodes_completed"]) > 0
