@@ -195,18 +195,6 @@ class PauliEnvCore:
             for k, (c, _, _) in enumerate(_primitive_sequence(g))
             if c == P_CNOT
         })
-        # per-slot static type presence: which primitive kinds occur at slot
-        # k across the whole gateset — the unrolled step only emits the ops a
-        # slot can need (e.g. heavy-hex slots 3-8 carry only SXdg/Sdg H/S
-        # primitives, no CNOT, hence no cleanup sweep)
-        self.slot_types = []
-        for k in range(self.max_prims):
-            kinds = set()
-            for g in self.gateset:
-                seq = _primitive_sequence(g)
-                if k < len(seq):
-                    kinds.add(seq[k][0])
-            self.slot_types.append(kinds)
 
         mt = MetricsTables.build(self.gateset)
         self.mtype = jnp.asarray(np.concatenate([mt.mtype, [MT_1Q]]))

@@ -128,6 +128,11 @@ class PPOConfig(_JsonMixin):
     pack_pool_slots: int = 8
     # training
     num_epochs: int = 10
+    # gradient steps per epoch: 1 = one full-batch update (reference
+    # semantics); k > 1 shuffles the [T*B] transitions into k minibatches
+    # per epoch — more optimization steps per collected batch, the standard
+    # PPO recipe for large on-device batches
+    num_minibatches: int = 1
     vf_coef: float = 0.8
     ent_coef: float = 0.01
     clip_ratio: float = 0.1
@@ -151,6 +156,9 @@ class PPOConfig(_JsonMixin):
             raise ValueError("gae_lambda and gamma must be in [0, 1]")
         if self.clip_ratio <= 0:
             raise ValueError("clip_ratio must be > 0")
+        if self.pack_pool_slots < 1 or self.num_minibatches < 1:
+            raise ValueError(
+                "pack_pool_slots and num_minibatches must be >= 1")
 
     def to_json(self) -> dict:
         self.validate()
@@ -169,11 +177,13 @@ class PPOConfig(_JsonMixin):
                 "normalize_advantage": self.normalize_advantage,
             },
         }
-        # packing knobs are emitted only when changed, keeping configs
-        # written with defaults byte-identical to the reference schema
+        # packing/minibatch knobs are emitted only when changed, keeping
+        # configs written with defaults byte-identical to the reference schema
         for k in ("episode_packing", "pack_pool_slots"):
             if getattr(self, k) != getattr(type(self), k):
                 out["collecting"][k] = getattr(self, k)
+        if self.num_minibatches != type(self).num_minibatches:
+            out["training"]["num_minibatches"] = self.num_minibatches
         out.update(self._tail_json())
         return out
 
@@ -189,6 +199,7 @@ class PPOConfig(_JsonMixin):
             episode_packing=col.get("episode_packing", cls.episode_packing),
             pack_pool_slots=col.get("pack_pool_slots", cls.pack_pool_slots),
             num_epochs=tr.get("num_epochs", cls.num_epochs),
+            num_minibatches=tr.get("num_minibatches", cls.num_minibatches),
             vf_coef=tr.get("vf_coef", cls.vf_coef),
             ent_coef=tr.get("ent_coef", cls.ent_coef),
             clip_ratio=tr.get("clip_ratio", cls.clip_ratio),

@@ -91,6 +91,32 @@ class PPO:
             "loss": loss, "pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent_bonus,
         }
 
+    def _loss_flat(self, params, batch):
+        """Clipped PPO loss over a flat minibatch dict (masked by `valid`);
+        same math as _loss, reshaped for the num_minibatches > 1 path."""
+        cfg = self.config
+        logits, value = self.policy.apply(params, batch["obs"])
+        logp_all = jax.nn.log_softmax(logits, axis=-1)
+        logp = jnp.take_along_axis(
+            logp_all, batch["action"][:, None], axis=-1)[:, 0]
+        valid = batch["valid"].astype(jnp.float32)
+        count = jnp.maximum(valid.sum(), 1.0)
+        adv = batch["adv"]
+        if cfg.normalize_advantage:
+            mean = (adv * valid).sum() / count
+            var = (((adv - mean) ** 2) * valid).sum() / count
+            adv = (adv - mean) * jax.lax.rsqrt(var + 1e-8)
+        ratio = jnp.exp(logp - batch["logp"])
+        clipped = jnp.clip(ratio, 1.0 - cfg.clip_ratio, 1.0 + cfg.clip_ratio)
+        pg = -jnp.minimum(ratio * adv, clipped * adv)
+        pg_loss = (pg * valid).sum() / count
+        v_loss = (((value - batch["ret"]) ** 2) * valid).sum() / count
+        ent = -(jnp.exp(logp_all) * logp_all).sum(-1)
+        ent_bonus = (ent * valid).sum() / count
+        loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent_bonus
+        return loss, {"loss": loss, "pg_loss": pg_loss, "v_loss": v_loss,
+                      "entropy": ent_bonus}
+
     def _make_train_step(self, T: int, B: int):
         cfg = self.config
 
@@ -120,18 +146,58 @@ class PPO:
                 stats = None
                 adv, returns = gae(traj, cfg.gamma, cfg.gae_lambda)
 
-            def epoch(carry, _):
-                params, opt_state = carry
-                (loss, aux), grads = jax.value_and_grad(
-                    self._loss, has_aux=True
-                )(params, traj, adv, returns)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), aux
+            if cfg.num_minibatches > 1:
+                N = T * B
+                # never let a "minibatch" become empty at tiny T*B
+                nmb = min(cfg.num_minibatches, N)
+                mb = N // nmb
+                flat = {
+                    "obs": traj.obs.reshape((N,) + traj.obs.shape[2:]),
+                    "action": traj.action.reshape(N),
+                    "logp": traj.logp.reshape(N),
+                    "valid": traj.valid.reshape(N),
+                    "adv": adv.reshape(N),
+                    "ret": returns.reshape(N),
+                }
+                k_perm = jax.random.fold_in(key, 1)
+                ep_keys = jax.random.split(k_perm, cfg.num_epochs)
 
-            (params, opt_state), auxs = jax.lax.scan(
-                epoch, (params, opt_state), None, length=cfg.num_epochs
-            )
+                def epoch(carry, ek):
+                    params, opt_state = carry
+                    idx = jax.random.permutation(ek, N)[: mb * nmb]
+                    idx = idx.reshape(nmb, mb)
+
+                    def mb_step(c, ib):
+                        params, opt_state = c
+                        batch = jax.tree.map(lambda x: x[ib], flat)
+                        (loss, aux), grads = jax.value_and_grad(
+                            self._loss_flat, has_aux=True
+                        )(params, batch)
+                        updates, opt_state = self.tx.update(
+                            grads, opt_state, params)
+                        params = optax.apply_updates(params, updates)
+                        return (params, opt_state), aux
+
+                    (params, opt_state), auxs = jax.lax.scan(
+                        mb_step, (params, opt_state), idx)
+                    return (params, opt_state), jax.tree.map(
+                        lambda v: v.mean(), auxs)
+
+                (params, opt_state), auxs = jax.lax.scan(
+                    epoch, (params, opt_state), ep_keys)
+            else:
+                def epoch(carry, _):
+                    params, opt_state = carry
+                    (loss, aux), grads = jax.value_and_grad(
+                        self._loss, has_aux=True
+                    )(params, traj, adv, returns)
+                    updates, opt_state = self.tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), aux
+
+                (params, opt_state), auxs = jax.lax.scan(
+                    epoch, (params, opt_state), None, length=cfg.num_epochs
+                )
             metrics = {k: v[-1] for k, v in auxs.items()}
             if stats is not None:
                 done = jnp.maximum(stats["episodes_completed"].sum(), 1)
@@ -141,11 +207,15 @@ class PPO:
                 metrics["episodes_completed"] = (
                     stats["episodes_completed"].sum()
                 )
+                # per-episode mean (a packed lane completes many episodes)
+                metrics["mean_episode_reward"] = (
+                    (traj.reward * traj.valid).sum() / done
+                )
             else:
                 metrics["success_rate"] = final_state.success.mean()
-            metrics["mean_episode_reward"] = (
-                (traj.reward * traj.valid).sum(0).mean()
-            )
+                metrics["mean_episode_reward"] = (
+                    (traj.reward * traj.valid).sum(0).mean()
+                )
             metrics["steps_collected"] = traj.valid.sum()
             return params, opt_state, metrics
 

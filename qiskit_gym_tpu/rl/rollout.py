@@ -40,16 +40,9 @@ def sample_action(key, logits, masks, deterministic: bool):
     return jax.random.categorical(key, masked, axis=-1)
 
 
-def collect(core, policy_apply, params, state, key, T: int,
-            deterministic: bool = False):
-    """Roll out T steps from `state` (already reset). Returns (final_state,
-    Trajectory).
-
-    All per-step randomness (action sampling via Gumbel-max, inversion
-    coin-flips, per-step keys for env-internal draws) is pregenerated in
-    three bulk PRNG calls before the scan: per-step threefry key chains are
-    serial and cost as much as the env step itself on TPU (measured)."""
-    B = state.depth.shape[0]
+def _pregen_randomness(core, key, T: int, B: int, deterministic: bool):
+    """Bulk PRNG draws for a T-step rollout (per-step threefry key chains
+    are serial and cost as much as the env step itself on TPU, measured)."""
     A = core.num_actions
     k_g, k_f, k_s = jax.random.split(key, 3)
     gumbel = (jnp.zeros((T, B, A)) if deterministic
@@ -58,26 +51,46 @@ def collect(core, policy_apply, params, state, key, T: int,
         flips = jax.random.bernoulli(k_f, 0.5, (T, B))
     else:
         flips = jnp.zeros((T, B), bool)
-    step_keys = jax.random.split(k_s, T)
+    return gumbel, flips, jax.random.split(k_s, T)
+
+
+def _sample_and_step(core, policy_apply, params, env_state, g_t, flip_t,
+                     key_t):
+    """Shared per-step prologue for both collectors: observe -> policy ->
+    Gumbel-max masked sample -> env step. Returns everything a Trajectory
+    row needs plus the raw stepped state."""
+    obs = core.dense(env_state)  # uint8 — 4x cheaper to store than f32
+    logits, value = policy_apply(params, obs)
+    masks = core.masks(env_state)
+    neg = jnp.finfo(logits.dtype).min
+    masked = jnp.where(masks, logits, neg)
+    action = jnp.argmax(masked + g_t, axis=-1)
+    logp_all = jax.nn.log_softmax(masked, axis=-1)
+    logp = jnp.take_along_axis(logp_all, action[:, None], axis=-1)[:, 0]
+
+    live = ~core.is_final(env_state)
+    inverted = env_state.inverted
+    actual = (core.translate_action(env_state, action)
+              if hasattr(core, "translate_action") else action)
+    stepped = core.step(env_state, action, key_t,
+                        invert_override=flip_t
+                        if getattr(core, "add_inverts", False) else None)
+    return obs, action, actual, logp, value, live, inverted, stepped
+
+
+def collect(core, policy_apply, params, state, key, T: int,
+            deterministic: bool = False):
+    """Roll out T steps from `state` (already reset). Returns (final_state,
+    Trajectory). Lanes that finish are frozen (their rows masked invalid)."""
+    B = state.depth.shape[0]
+    gumbel, flips, step_keys = _pregen_randomness(core, key, T, B,
+                                                  deterministic)
 
     def step_fn(env_state, xs):
         g_t, flip_t, key_t = xs
-        obs = core.dense(env_state)  # uint8 — 4x cheaper to store than f32
-        logits, value = policy_apply(params, obs)
-        masks = core.masks(env_state)
-        neg = jnp.finfo(logits.dtype).min
-        masked = jnp.where(masks, logits, neg)
-        action = jnp.argmax(masked + g_t, axis=-1)
-        logp_all = jax.nn.log_softmax(masked, axis=-1)
-        logp = jnp.take_along_axis(logp_all, action[:, None], axis=-1)[:, 0]
-
-        live = ~core.is_final(env_state)
-        inverted = env_state.inverted
-        actual = (core.translate_action(env_state, action)
-                  if hasattr(core, "translate_action") else action)
-        stepped = core.step(env_state, action, key_t,
-                            invert_override=flip_t
-                            if getattr(core, "add_inverts", False) else None)
+        obs, action, actual, logp, value, live, inverted, stepped = (
+            _sample_and_step(core, policy_apply, params, env_state, g_t,
+                             flip_t, key_t))
         new_state = jax.tree.map(
             lambda new, old: jnp.where(
                 live.reshape(live.shape + (1,) * (new.ndim - 1)), new, old
@@ -109,18 +122,19 @@ def collect_packed(core, policy_apply, params, key, T: int, B: int,
     difficulty).
 
     Fresh states come from a pool of `pool_slots` pregenerated reset batches
-    (resetting inside the scan would re-run the scramble loop every step); a
-    lane finishing at step t takes its own lane from pool slot t % pool_slots.
-    A lane only sees a repeated scramble if two of its episodes end exactly
-    k * pool_slots steps apart — rare and harmless for training data.
+    (resetting inside the scan would re-run the scramble loop every step).
+    Each step draws a RANDOM pool slot and a RANDOM lane rotation, so a
+    refilled lane can receive any of the pool_slots * B pregenerated
+    scrambles — a deterministic slot schedule would hand every failed
+    episode (which always lasts exactly the depth budget) the same scramble
+    over and over whenever the budget divides the schedule period.
 
     Returns (final_state, Trajectory, stats) where stats is a dict with
     episodes_completed / episodes_succeeded [B] counters and last_value [B]
     for GAE horizon bootstrapping (mid-episode truncation at the scan end is
     expected here, unlike the aligned collector where the horizon is the
     depth budget)."""
-    A = core.num_actions
-    k_pool, k_g, k_f, k_s = jax.random.split(key, 4)
+    k_pool, k_roll, k_slot, k_rot = jax.random.split(key, 4)
     pool = core.reset(k_pool, B * pool_slots, difficulty)
     pool = jax.tree.map(
         lambda x: x.reshape((pool_slots, B) + x.shape[1:]), pool
@@ -133,45 +147,30 @@ def collect_packed(core, policy_apply, params, key, T: int, B: int,
         pool = shard_env_state(mesh, pool, batch_axis=1)
     state0 = jax.tree.map(lambda x: x[0], pool)
 
-    gumbel = (jnp.zeros((T, B, A)) if deterministic
-              else jax.random.gumbel(k_g, (T, B, A)))
-    if getattr(core, "add_inverts", False):
-        flips = jax.random.bernoulli(k_f, 0.5, (T, B))
-    else:
-        flips = jnp.zeros((T, B), bool)
-    step_keys = jax.random.split(k_s, T)
-    # slot 0 seeds the initial states; consumption starts at slot 1
-    slots = (1 + jnp.arange(T, dtype=jnp.int32)) % pool_slots
+    gumbel, flips, step_keys = _pregen_randomness(core, k_roll, T, B,
+                                                  deterministic)
+    slots = jax.random.randint(k_slot, (T,), 0, pool_slots)
+    rots = jax.random.randint(k_rot, (T,), 0, B)
 
     def step_fn(carry, xs):
         env_state, n_done, n_succ = carry
-        g_t, flip_t, key_t, slot_t = xs
-        obs = core.dense(env_state)
-        logits, value = policy_apply(params, obs)
-        masks = core.masks(env_state)
-        neg = jnp.finfo(logits.dtype).min
-        masked = jnp.where(masks, logits, neg)
-        action = jnp.argmax(masked + g_t, axis=-1)
-        logp_all = jax.nn.log_softmax(masked, axis=-1)
-        logp = jnp.take_along_axis(logp_all, action[:, None], axis=-1)[:, 0]
-
-        live = ~core.is_final(env_state)
-        inverted = env_state.inverted
-        actual = (core.translate_action(env_state, action)
-                  if hasattr(core, "translate_action") else action)
-        stepped = core.step(env_state, action, key_t,
-                            invert_override=flip_t
-                            if getattr(core, "add_inverts", False) else None)
+        g_t, flip_t, key_t, slot_t, rot_t = xs
+        obs, action, actual, logp, value, live, inverted, stepped = (
+            _sample_and_step(core, policy_apply, params, env_state, g_t,
+                             flip_t, key_t))
         done = live & core.is_final(stepped)
         n_done = n_done + done.astype(jnp.int32)
         n_succ = n_succ + (done & stepped.success).astype(jnp.int32)
 
         # refill finished lanes (and any dead lane, e.g. an instantly-solved
-        # fresh reset) from this step's pool slot
+        # fresh reset) from a random pool slot with a random lane rotation
         refresh = done | ~live
         fresh = jax.tree.map(
-            lambda p: jax.lax.dynamic_index_in_dim(p, slot_t, 0,
-                                                   keepdims=False), pool
+            lambda p: jnp.roll(
+                jax.lax.dynamic_index_in_dim(p, slot_t, 0, keepdims=False),
+                rot_t, axis=0,
+            ),
+            pool,
         )
         new_state = jax.tree.map(
             lambda fr, st: jnp.where(
@@ -189,7 +188,8 @@ def collect_packed(core, policy_apply, params, key, T: int, B: int,
 
     zeros = jnp.zeros(B, jnp.int32)
     (final_state, n_done, n_succ), traj = jax.lax.scan(
-        step_fn, (state0, zeros, zeros), (gumbel, flips, step_keys, slots),
+        step_fn, (state0, zeros, zeros),
+        (gumbel, flips, step_keys, slots, rots),
         length=T,
     )
     traj = traj._replace(success=final_state.success)

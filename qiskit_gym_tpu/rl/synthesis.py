@@ -139,6 +139,8 @@ class RLSynthesis:
         if tb_path is not None:
             from qiskit_gym_tpu.utils.logging import JsonlLogger, MultiWriter
 
+            if hasattr(self.algorithm.tb_writer, "close"):
+                self.algorithm.tb_writer.close()  # repeated learn() calls
             self.algorithm.run_path = tb_path
             writers = [JsonlLogger(tb_path)]
             try:
@@ -153,6 +155,11 @@ class RLSynthesis:
             self.algorithm.learn(num_iterations)
         except KeyboardInterrupt:
             return
+        finally:
+            # the JSONL writer buffers the newest step until a newer one
+            # arrives — flush so the final iteration's row is on disk
+            if hasattr(self.algorithm.tb_writer, "flush"):
+                self.algorithm.tb_writer.flush()
 
     @property
     def params(self):

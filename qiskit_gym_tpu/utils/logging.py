@@ -40,6 +40,12 @@ class JsonlLogger:
             )
         self._row = {}
 
+    def flush(self) -> None:
+        """Write the buffered step now (e.g. at the end of learn())."""
+        self._flush()
+        self._step = None
+        self._fh.flush()
+
     def close(self) -> None:
         self._flush()
         self._fh.close()
@@ -60,6 +66,11 @@ class MultiWriter:
     def add_scalar(self, tag: str, value, step: int) -> None:
         for w in self.writers:
             w.add_scalar(tag, value, step)
+
+    def flush(self) -> None:
+        for w in self.writers:
+            if hasattr(w, "flush"):
+                w.flush()
 
     def close(self) -> None:
         for w in self.writers:

@@ -3,7 +3,8 @@
 Three on-disk formats:
 - `.pt`    — torch state dicts, byte-compatible with the reference's shipped
              artifacts (examples/models/*.pt); handled by models/torch_io.py.
-- a directory path (or `.orbax` suffix) — orbax PyTreeCheckpointer, the
+- a `.orbax` suffix or trailing-slash path (or an existing directory) —
+  orbax PyTreeCheckpointer, the
   sharding-aware format for large / multi-host policies (supports async via
   `AsyncCheckpointer`, see `async_checkpointer()`).
 - anything else — flax msgpack (no torch dependency), the native format.
@@ -18,9 +19,10 @@ import numpy as np
 
 
 def _is_orbax_path(path: str) -> bool:
-    return path.endswith(".orbax") or (
-        os.path.isdir(path) and not os.path.isfile(path)
-    )
+    # explicit markers work for not-yet-existing save targets too; a bare
+    # pre-existing directory is also treated as orbax for loading
+    return (path.endswith(".orbax") or path.endswith(os.sep)
+            or os.path.isdir(path))
 
 
 def save_params(params: dict, path: str) -> None:

@@ -223,7 +223,7 @@ def test_learn_writes_jsonl_metrics(tmp_path):
                                                   common_layers=[8]))
     run = str(tmp_path / "run")
     rls.learn(num_iterations=2, tb_path=run)
-    rls.algorithm.tb_writer.close()
+    # learn() flushes the buffered final row itself — no close() needed
     lines = [
         _json.loads(x)
         for x in open(run + "/metrics.jsonl").read().splitlines() if x

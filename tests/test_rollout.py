@@ -188,3 +188,27 @@ def test_ppo_packing_config_json_roundtrip():
     assert j2["collecting"]["episode_packing"] is True
     back = PPOConfig.from_json(j2)
     assert back.episode_packing and back.pack_pool_slots == 6
+
+
+def test_ppo_minibatch_epochs_learn():
+    """num_minibatches > 1 trains (k gradient steps per epoch) and solves."""
+    from qiskit_gym_tpu.envs import PermutationGym
+    from qiskit_gym_tpu.rl import RLSynthesis
+    from qiskit_gym_tpu.rl.configs import PPOConfig, BasicPolicyConfig, EvalConfig
+    from qiskit_gym_tpu.quantum import linear_from_circuit, permutation_pattern
+
+    env = PermutationGym.from_coupling_map(LINE_3, max_depth=16,
+                                           add_inverts=False)
+    cfg = PPOConfig(num_episodes=32, num_epochs=2, num_minibatches=4,
+                    episode_packing=True, pack_pool_slots=4,
+                    evals={"ppo_deterministic": EvalConfig(num_episodes=8)})
+    j = cfg.to_json()
+    assert j["training"]["num_minibatches"] == 4
+    assert PPOConfig.from_json(j).num_minibatches == 4
+    rls = RLSynthesis(env, cfg, BasicPolicyConfig(embedding_size=32,
+                                                  common_layers=[16]))
+    rls.learn(initial_difficulty=1, num_iterations=3)
+    pattern = [1, 0, 2]
+    out = rls.synth(pattern, num_searches=50)
+    assert out is not None
+    assert permutation_pattern(linear_from_circuit(out)).tolist() == pattern
