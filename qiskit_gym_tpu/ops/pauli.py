@@ -689,7 +689,11 @@ class PauliEnvCore:
             (((2,), (1,)), ((0,), (0,))),
         ).astype(jnp.int8)                               # [B, 2n, R]
 
-        # automorphism: rows of everything, columns of the tableau only
+        # automorphism: rows of everything, columns of the tableau only.
+        # Gatesets with a trivial automorphism group (e.g. 27q heavy-hex)
+        # have exactly one (identity) perm — skip the three GEMMs entirely
+        if self.num_perms == 1 and self.qubit_perms[0] == list(range(n)):
+            return jnp.concatenate([tab, cols], axis=2).astype(jnp.uint8)
         P = self.perm_mats[state.perm_idx][:, : self.dim, : self.dim]
         tab_p = jax.lax.dot_general(
             P.astype(jnp.int32), tab.astype(jnp.int32),

@@ -85,3 +85,21 @@ def test_reference_pretrained_checkpoint_solves():
     out = rls.synth(pattern, deterministic=True, num_searches=1)
     assert out is not None
     assert permutation_pattern(linear_from_circuit(out)).tolist() == pattern
+
+
+def test_clifford_heavy_hex_artifact():
+    """27q heavy-hex Clifford policy (trained on TPU with minibatched PPO +
+    episode packing to curriculum difficulty 31) solves a small in-gateset
+    target; phase-less tableau must match (the Pauli repair layer makes the
+    full unitary exact, checked on the 3q artifact)."""
+    from qiskit_gym_tpu.quantum import Clifford
+
+    rls = _load("clifford_heavy_hex_27q")
+    target = Circuit(27)
+    target.h(0).cx(0, 1).s(1).cx(1, 2)
+    out = rls.synth(target, deterministic=True, num_searches=1)
+    if out is None:
+        out = rls.synth(target, num_searches=16)
+    assert out is not None
+    assert np.array_equal(Clifford(out).tableau[:, :-1],
+                          Clifford(target).tableau[:, :-1])
