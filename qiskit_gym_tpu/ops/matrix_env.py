@@ -220,6 +220,8 @@ def packed_apply_left(U32, S32, a, W: int, D: int):
         rm = jnp.where(r != 0, _FULL32, np.uint32(0))
         term = U32[:, k, :, None] & rm[:, None, :]
         acc = term if acc is None else acc ^ term
+    if acc is None:  # rank-0 tables: identity update
+        return a
     return (a3 ^ acc).reshape(B, W * D)
 
 
@@ -243,6 +245,8 @@ def packed_apply_right(Ulm, Slm, m, W: int, D: int):
                            jax.lax.bitwise_xor, (2,))              # [B, W]
         term = c[:, :, None] & Slm[:, k, None, :]
         acc = term if acc is None else acc ^ term
+    if acc is None:  # rank-0 tables: identity update
+        return m
     return (m3 ^ acc).reshape(B, W * D)
 
 

@@ -317,3 +317,81 @@ def test_pallas_metrics_matches_xla():
     assert np.array_equal(np.asarray(sc[:, 2]), np.asarray(s1.n_cnots))
     assert np.array_equal(np.asarray(sc[:, 3]), np.asarray(s1.n_gates))
     assert np.allclose(np.asarray(pen), np.asarray(p1))
+
+
+def test_gf2_factor_fuzz():
+    """gf2_factor reproduces random GF(2) matrices with minimal rank."""
+    from qiskit_gym_tpu.ops.matrix_env import gf2_factor
+
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        D = int(rng.integers(1, 40))
+        r_target = int(rng.integers(0, min(D, 6) + 1))
+        # random rank-<=r matrix: sum of r outer products
+        M = np.zeros((D, D), np.uint8)
+        for _ in range(r_target):
+            u = rng.integers(0, 2, D).astype(np.uint8)
+            v = rng.integers(0, 2, D).astype(np.uint8)
+            M ^= np.outer(u, v) & 1
+        U, S = gf2_factor(M)
+        assert np.array_equal((U.astype(np.int64) @ S) % 2, M)
+        # exact GF(2) rank via elimination on a copy
+        W = M.astype(np.int64).copy() % 2
+        rank = 0
+        for col in range(D):
+            piv = None
+            for row in range(rank, D):
+                if W[row, col]:
+                    piv = row
+                    break
+            if piv is None:
+                continue
+            W[[rank, piv]] = W[[piv, rank]]
+            for row in range(D):
+                if row != rank and W[row, col]:
+                    W[row] ^= W[rank]
+            rank += 1
+        assert U.shape[1] == rank, (trial, U.shape, rank)
+
+
+def test_packed_apply_matches_dense_fuzz():
+    """packed_apply_left/right agree with dense GF(2) matmul on random
+    rank-k updates and random packed states."""
+    import jax.numpy as jnp
+
+    from qiskit_gym_tpu.ops.matrix_env import (
+        gf2_factor, pack_rows, pack_term_tables, packed_apply_left,
+        packed_apply_right, unpack_rows)
+
+    rng = np.random.default_rng(11)
+    for trial in range(10):
+        D = int(rng.integers(33, 70))  # force W = 2+ word groups
+        W = (D + 31) // 32
+        B = 4
+        # a few random low-rank GF(2) "gates"
+        Us, Ss, mats = [], [], []
+        for _ in range(3):
+            M = np.zeros((D, D), np.uint8)
+            for _ in range(int(rng.integers(0, 3))):
+                M ^= np.outer(rng.integers(0, 2, D),
+                              rng.integers(0, 2, D)).astype(np.uint8) & 1
+            U, S = gf2_factor(M)
+            Us.append(U)
+            Ss.append(S)
+            mats.append((np.eye(D, dtype=np.uint8) + M) % 2)
+        U32, S32, Ulm, Slm = pack_term_tables(Us, Ss, D)
+        a_dense = rng.integers(0, 2, (B, D, D)).astype(np.uint8)
+        a = jnp.asarray(pack_rows(a_dense, W).reshape(B, W * D))
+        act = jnp.asarray(rng.integers(0, 3, B))
+        got_l = unpack_rows(
+            packed_apply_left(jnp.asarray(U32)[act], jnp.asarray(S32)[act],
+                              a, W, D), W, D, D)
+        got_r = unpack_rows(
+            packed_apply_right(jnp.asarray(Ulm)[act], jnp.asarray(Slm)[act],
+                               a, W, D), W, D, D)
+        for b in range(B):
+            G = mats[int(act[b])].astype(np.int64)
+            want_l = (G @ a_dense[b]) % 2
+            want_r = (a_dense[b] @ G) % 2
+            assert np.array_equal(np.asarray(got_l[b]), want_l), trial
+            assert np.array_equal(np.asarray(got_r[b]), want_r), trial
