@@ -74,6 +74,9 @@ def main():
     report["az_perm_heavy_hex_27q (MCTS-96, 1 search)"] = eval_artifact(
         "az_perm_heavy_hex_27q", [4, 8], num_episodes=64, num_searches=1,
         mcts=96)
+    report["az_clifford_heavy_hex_27q (MCTS-48, 1 search)"] = eval_artifact(
+        "az_clifford_heavy_hex_27q", [8, 16, 32], num_episodes=64,
+        num_searches=1, mcts=48)
 
     lines = ["# Solve quality (shipped artifacts, one v5e chip)", "",
              "Scrambles drawn by the env at each difficulty; solve rate over",

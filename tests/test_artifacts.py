@@ -103,3 +103,19 @@ def test_clifford_heavy_hex_artifact():
     assert out is not None
     assert np.array_equal(Clifford(out).tableau[:, :-1],
                           Clifford(target).tableau[:, :-1])
+
+
+def test_az_clifford_heavy_hex_artifact():
+    """27q heavy-hex AZ Clifford policy (warm-started from the PPO artifact,
+    48-sim self-play to curriculum difficulty 39) solves greedily."""
+    from qiskit_gym_tpu.quantum import Clifford
+
+    rls = _load("az_clifford_heavy_hex_27q")
+    target = Circuit(27)
+    target.cx(0, 1).h(1).s(2).cx(1, 2)
+    out = rls.synth(target, deterministic=True, num_searches=1)
+    if out is None:
+        out = rls.synth(target, num_searches=16)
+    assert out is not None
+    assert np.array_equal(Clifford(out).tableau[:, :-1],
+                          Clifford(target).tableau[:, :-1])
