@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Benchmark: batched env steps/sec on one chip.
 
-Headline config: CliffordGym on the 27-qubit heavy-hex coupling map (the
-hardest matrix env family; BASELINE.json config #3/#5 scale), full training
-semantics — metrics/reward pipeline + 50% random state inversion — stepping
-B device-resident envs inside one jitted scan with on-device action sampling.
+Headline config: the four env families on the 27-qubit heavy-hex coupling
+map (BASELINE.json config #3/#5 scale), full training semantics — metrics/
+reward pipeline + 50% random state inversion — stepping B device-resident
+envs (B per family, measured-best) inside one jitted scan with on-device
+action sampling.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 1e7 (the BASELINE.json north-star steps/sec target).
@@ -68,23 +69,28 @@ def bench_core(core, B: int, K: int, repeats: int = 3) -> float:
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    # per-family env batch width, measured-best on v5e (pauli's rotation
+    # pipeline peaks at 16k; the matrix families keep scaling to 32k);
+    # an argv override applies to every family
+    B_cli = int(sys.argv[1]) if len(sys.argv) > 1 else None
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    B_mat = B_cli or 32768
+    B_pauli = B_cli or 16384
 
     results = {}
 
     env = CliffordGym.from_coupling_map(HEAVY_HEX_27, max_depth=128)
-    results["clifford_27q_heavy_hex"] = bench_core(env.core, B, K)
+    results["clifford_27q_heavy_hex"] = bench_core(env.core, B_mat, K)
 
     env = LinearFunctionGym.from_coupling_map(HEAVY_HEX_27, max_depth=128)
-    results["linear_function_27q"] = bench_core(env.core, B, K)
+    results["linear_function_27q"] = bench_core(env.core, B_mat, K)
 
     env = PermutationGym.from_coupling_map(HEAVY_HEX_27, max_depth=128)
-    results["permutation_27q"] = bench_core(env.core, B, K)
+    results["permutation_27q"] = bench_core(env.core, B_mat, K)
 
     env = PauliGym.from_coupling_map(HEAVY_HEX_27, max_depth=128,
                                      max_rotations=5)
-    results["pauli_network_27q"] = bench_core(env.core, B, K)
+    results["pauli_network_27q"] = bench_core(env.core, B_pauli, K)
 
     for name, v in results.items():
         print(f"  {name}: {v / 1e6:.2f}M steps/s", file=sys.stderr)

@@ -9,10 +9,18 @@ the spec twin is spec/pauli_env.py). Fixed-shape design:
   convention) in factorized I xor U S form via the packed popcount-parity
   kernel (ops/matrix_env.packed_apply_left); the 70/15/15 reset scramble
   uses the same kernel with per-primitive term tables.
-- Rotations: (x, z) bits int8 [B, R, n] + phase mod 4 [B, R], evolved through
-  the action's primitive sequence (<= 9 H/S/CNOT slots; composite gates like
+- Rotations: BITPACKED (x, z) bits uint32 [B, R, Wn] (qubits packed
+  32-per-word along the last axis) + phase mod 4 [B, R], evolved through the
+  action's primitive sequence (<= 9 H/S/CNOT slots; composite gates like
   SXdg = (HSH)^3 expand exactly as the reference applies them), because phase
-  updates read intermediate bit values.
+  updates read intermediate bit values. Each primitive touches one or two
+  qubit BITS, so the whole update is single-bit mask XORs on packed words.
+  The hot loop itself runs B-MINOR ([R, Wn, B] / [R, B], envs on the
+  128-lane axis): the per-env rotation block is tiny (R x n bits), so a
+  B-major loop would put single-digit dims on the vector registers'
+  (sublane, lane) axes and waste >99% of every op; the step transposes in
+  and out (~2 MB of relayout per batched step, negligible vs the 20x lane
+  utilization win — pauli 12.0 -> 14.6M steps/s).
 - The anti-commutation DAG is a static-per-episode bool matrix [B, R, R]
   (edges later->earlier); the front layer and the trivial-rotation sweep are
   masked reductions — petgraph's retain_nodes becomes an `active` mask update.
@@ -54,6 +62,30 @@ P_NOP, P_H, P_S, P_CNOT = 0, 1, 2, 3
 MAX_PRIMS = 9  # SXdg = (H S H)^3
 
 
+def pack_bits_lastdim(bits, W: int):
+    """0/1 [..., n] -> uint32 [..., W] (bit q of word q//32 = bit q%32)."""
+    n = bits.shape[-1]
+    pad = W * 32 - n
+    b = jnp.pad(bits.astype(jnp.uint32), [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
+    b = b.reshape(bits.shape[:-1] + (W, 32))
+    return jnp.sum(b << jnp.arange(32, dtype=jnp.uint32), axis=-1)
+
+
+def unpack_bits_lastdim(words, n: int):
+    """uint32 [..., W] -> uint8 [..., n]."""
+    bits = (words[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    return bits.reshape(words.shape[:-1] + (-1,))[..., :n].astype(jnp.uint8)
+
+
+def pack_bits_np(bits: np.ndarray, W: int) -> np.ndarray:
+    """numpy twin of pack_bits_lastdim (host-side set_state)."""
+    bits = np.asarray(bits)
+    out = np.zeros(bits.shape[:-1] + (W,), np.uint32)
+    for q in range(bits.shape[-1]):
+        out[..., q // 32] |= (bits[..., q].astype(np.uint32) & 1) << (q % 32)
+    return out
+
+
 def _primitive_sequence(gate) -> list:
     name, qs = gate
     if name == "H":
@@ -93,8 +125,8 @@ def _network_gate_matrix(gate, n: int, D2: int) -> np.ndarray:
 
 class PauliEnvState(NamedTuple):
     tab: jnp.ndarray        # uint32 [B, W2 * D2] bitpacked (rows 32/word)
-    rx: jnp.ndarray         # int8 [B, R, n]
-    rz: jnp.ndarray         # int8 [B, R, n]
+    rx: jnp.ndarray         # uint32 [B, R, Wn] bitpacked qubit bits
+    rz: jnp.ndarray         # uint32 [B, R, Wn]
     rphase: jnp.ndarray     # int8 [B, R]  (mod 4)
     active: jnp.ndarray     # bool [B, R]
     anti: jnp.ndarray       # bool [B, R, R]  anti-commutation, j < i
@@ -135,6 +167,7 @@ class PauliEnvCore:
         self.gateset = parse_gateset(gateset)
         self.R = max(int(max_rotations), 1)   # obs width cap (max_rotations)
         self.dim = 2 * n
+        self.Wn = (n + 31) // 32   # packed qubit words per rotation
         self.D2 = _pad_dim(self.dim)
         self.depth_slope = int(depth_slope)
         self.max_depth = int(max_depth)
@@ -279,83 +312,106 @@ class PauliEnvCore:
         return (self.dim, self.dim + self.R)
 
     # --------------------------------------------------------- rotation math
-    def _rot_weight(self, rx, rz):
-        return jnp.sum((rx | rz).astype(jnp.int32), axis=-1)  # [B, R]
+    #
+    # The hot rotation loop runs B-MINOR: rotations/words on the major axes,
+    # envs on the last (lane) axis — [R, Wn, B] uint32 / [R, B] bool. The
+    # per-env rotation state is tiny (R x n bits), so a B-major layout puts
+    # single-digit dims on the TPU's (sublane, lane) axes and wastes >99% of
+    # every vector register; with B minor each op processes 1024 envs/vreg.
+    # State stays B-major (API/layout stability); step transposes in and out.
 
-    def _front_layer(self, active, anti):
-        blocked = jnp.any(anti & active[:, None, :], axis=-1)  # [B, R]
-        return active & ~blocked
+    def _bit_mask_t(self, q):
+        """Single-bit word mask for qubit index q [B] -> uint32 [Wn, B]."""
+        word = (q // 32)[None, :]
+        pos = (q % 32).astype(jnp.uint32)[None, :]
+        sel = jnp.arange(self.Wn, dtype=jnp.int32)[:, None] == word
+        return jnp.where(sel, jnp.uint32(1) << pos, jnp.uint32(0))
 
     def _cleanup(self, rx, rz, active, anti):
-        """Repeated front-layer sweep removing trivial rotations.
+        """Repeated front-layer sweep removing trivial rotations (B-major
+        wrapper used at reset; the step uses the transposed form directly).
 
         Returns (new_active, removed_count [B])."""
-        weight = self._rot_weight(rx, rz)
-        trivial = weight <= 1
+        rxT = jnp.moveaxis(rx, 0, -1)
+        rzT = jnp.moveaxis(rz, 0, -1)
+        activeT, removed = self._cleanup_t(
+            rxT, rzT, active.T, jnp.moveaxis(anti, 0, -1))
+        return activeT.T, removed
+
+    def _cleanup_t(self, rxT, rzT, activeT, antiT):
+        """Transposed trivial sweep: rxT/rzT [R, Wn, B], activeT [R, B],
+        antiT [R, R, B] (anti[i, j] with envs minor).
+
+        Returns (new_activeT [R, B], removed_count [B])."""
+        weight = jnp.sum(jax.lax.population_count(rxT | rzT), axis=1)
+        trivial = weight <= 1                              # [R, B]
 
         def body(i, carry):
-            active, removed = carry
-            t = self._front_layer(active, anti) & trivial
-            active = active & ~t
-            removed = removed + t.sum(axis=-1)
-            return active, removed
+            activeT, removed = carry
+            blocked = jnp.any(antiT & activeT[None, :, :], axis=1)  # [R, B]
+            t = activeT & ~blocked & trivial
+            activeT = activeT & ~t
+            removed = removed + jnp.sum(t, axis=0)
+            return activeT, removed
 
-        active, removed = jax.lax.fori_loop(
-            0, self.RT, body, (active, jnp.zeros(active.shape[0], jnp.int32))
+        return jax.lax.fori_loop(
+            0, self.RT, body,
+            (activeT, jnp.zeros(activeT.shape[-1], jnp.int32)),
         )
-        return active, removed
 
     def _apply_primitives(self, state: PauliEnvState, action):
         """Evolve rotations (bits + phases) through the action's primitive
-        sequence, running the trivial sweep after every CNOT."""
-        n = self.num_qubits
-        qid = jnp.arange(n, dtype=jnp.int32)
+        sequence, running the trivial sweep after every CNOT.
+
+        Packed form: each primitive reads one or two qubit BITS per rotation
+        (xa/za/xb at dynamic qubit positions, via single-bit word masks) and
+        writes back single-bit XOR terms — every array in the loop is
+        [B, R, Wn] uint32 or [B, R] rather than [B, R, n]."""
         pt = self.ptype[action]   # [B, MAX_PRIMS]
         p1 = self.pq1[action]
         p2 = self.pq2[action]
+        antiT = jnp.moveaxis(state.anti, 0, -1)            # [R, R, B]
 
         def slot(k, carry, with_cleanup):
-            rx, rz, ph, active, removed = carry
-            c = pt[:, k]
-            a = p1[:, k]
-            b = p2[:, k]
-            oh_a = (a[:, None] == qid[None, :])[:, None, :]  # [B, 1, n]
-            oh_b = (b[:, None] == qid[None, :])[:, None, :]
-            is_h = (c == P_H)[:, None, None]
-            is_s = (c == P_S)[:, None, None]
-            is_cx = (c == P_CNOT)[:, None, None]
+            rx, rz, ph, active, removed = carry            # all B-minor
+            c = pt[:, k]                                   # [B]
+            mask_a = self._bit_mask_t(p1[:, k])[None]      # [1, Wn, B]
+            mask_b = self._bit_mask_t(p2[:, k])[None]
+            is_h = (c == P_H)[None, :]                     # [1, B]
+            is_s = (c == P_S)[None, :]
+            is_cx = (c == P_CNOT)[None, :]
 
-            xa = jnp.sum(jnp.where(oh_a, rx, 0), axis=-1)   # [B, R]
-            za = jnp.sum(jnp.where(oh_a, rz, 0), axis=-1)
-            xb = jnp.sum(jnp.where(oh_b, rx, 0), axis=-1)
+            xa = jnp.any((rx & mask_a) != 0, axis=1)       # bool [R, B]
+            za = jnp.any((rz & mask_a) != 0, axis=1)
+            xb = jnp.any((rx & mask_b) != 0, axis=1)
 
-            # H(a): swap x_a <-> z_a ; phase += 2 x_a z_a
-            rx_h = jnp.where(oh_a, rz, rx)
-            rz_h = jnp.where(oh_a, rx, rz)
-            ph_h = ph + 2 * (xa * za).astype(ph.dtype)
-            # S(a): z_a ^= x_a ; phase += x_a
-            rz_s = jnp.where(oh_a, rz ^ rx, rz)
-            ph_s = ph + xa.astype(ph.dtype)
+            # H(a): swap x_a <-> z_a == both ^= (x_a ^ z_a); ph += 2 x_a z_a
+            # S(a): z_a ^= x_a ; ph += x_a
             # CNOT(a,b) == evolve_cx(ctrl=b, trgt=a): x_a ^= x_b ; z_b ^= z_a
-            rx_c = jnp.where(oh_a, rx ^ xb[:, :, None], rx)
-            rz_c = jnp.where(oh_b, rz ^ za[:, :, None], rz)
+            d = xa ^ za
+            dx_a = jnp.where(is_h, d, is_cx & xb)          # bool [R, B]
+            dz_a = jnp.where(is_h, d, is_s & xa)
+            dz_b = is_cx & za
 
-            rx = jnp.where(is_h, rx_h, jnp.where(is_cx, rx_c, rx))
-            rz = jnp.where(is_h, rz_h,
-                 jnp.where(is_s, rz_s, jnp.where(is_cx, rz_c, rz)))
-            ph = jnp.where(c[:, None] == P_H, ph_h,
-                 jnp.where(c[:, None] == P_S, ph_s, ph)) % 4
+            rx = rx ^ jnp.where(dx_a[:, None, :], mask_a, jnp.uint32(0))
+            rz = (rz ^ jnp.where(dz_a[:, None, :], mask_a, jnp.uint32(0))
+                     ^ jnp.where(dz_b[:, None, :], mask_b, jnp.uint32(0)))
+            dph = jnp.where(is_h, 2 * (xa & za).astype(jnp.int32),
+                  jnp.where(is_s, xa.astype(jnp.int32), 0))
+            ph = (ph + dph) % 4
 
             if with_cleanup:
-                new_active, rem = self._cleanup(rx, rz, active, state.anti)
+                new_active, rem = self._cleanup_t(rx, rz, active, antiT)
                 iscx_b = (c == P_CNOT)
-                active = jnp.where(iscx_b[:, None], new_active, active)
+                active = jnp.where(iscx_b[None, :], new_active, active)
                 removed = removed + jnp.where(iscx_b, rem, 0)
             return rx, rz, ph, active, removed
 
         removed0 = jnp.zeros(state.batch, jnp.int32)
-        carry = (state.rx.astype(jnp.int32), state.rz.astype(jnp.int32),
-                 state.rphase.astype(jnp.int32), state.active, removed0)
+        carry = (jnp.moveaxis(state.rx, 0, -1),            # [R, Wn, B]
+                 jnp.moveaxis(state.rz, 0, -1),
+                 state.rphase.astype(jnp.int32).T,         # [R, B]
+                 state.active.T, removed0)
         # two masked fori phases (a fori compiles leaner than a full static
         # unroll — measured on v5e): CNOT-capable slots run the trivial
         # sweep; tail slots (e.g. SXdg's trailing H/S primitives) never
@@ -371,8 +427,8 @@ class PauliEnvCore:
                 n_cx_slots, self.max_prims,
                 lambda k, cy: slot(k, cy, False), carry)
         rx, rz, ph, active, removed = carry
-        return (rx.astype(jnp.int8), rz.astype(jnp.int8),
-                ph.astype(jnp.int8), active, removed)
+        return (jnp.moveaxis(rx, -1, 0), jnp.moveaxis(rz, -1, 0),
+                ph.astype(jnp.int8).T, active.T, removed)
 
     # metrics: shares the closed-form running-max kernel with MatrixEnvCore
     # (same state fields and per-action tables, incl. the fused Pallas path)
@@ -428,8 +484,8 @@ class PauliEnvCore:
         n = self.num_qubits
         return PauliEnvState(
             tab=jnp.tile(self.ident_pk[None], (B, 1)),
-            rx=jnp.zeros((B, self.RT, n), jnp.int8),
-            rz=jnp.zeros((B, self.RT, n), jnp.int8),
+            rx=jnp.zeros((B, self.RT, self.Wn), jnp.uint32),
+            rz=jnp.zeros((B, self.RT, self.Wn), jnp.uint32),
             rphase=jnp.zeros((B, self.RT), jnp.int8),
             active=jnp.zeros((B, self.RT), bool),
             anti=jnp.zeros((B, self.RT, self.RT), bool),
@@ -447,16 +503,15 @@ class PauliEnvCore:
         )
 
     def _build_anti(self, rx, rz, valid):
-        """anti[i, j] (j < i): rotations i, j anticommute; only valid rows."""
-        x_i_z_j = jax.lax.dot_general(
-            rx.astype(jnp.int32), rz.astype(jnp.int32),
-            (((2,), (2,)), ((0,), (0,))),
-        )
-        z_i_x_j = jax.lax.dot_general(
-            rz.astype(jnp.int32), rx.astype(jnp.int32),
-            (((2,), (2,)), ((0,), (0,))),
-        )
-        anti = ((x_i_z_j + z_i_x_j) % 2).astype(bool)
+        """anti[i, j] (j < i): rotations i, j anticommute; only valid rows.
+
+        Symplectic product parity via popcounts over the packed qubit words
+        ([B, R, R, Wn] intermediates; R is small)."""
+        x_i_z_j = jnp.sum(jax.lax.population_count(
+            rx[:, :, None, :] & rz[:, None, :, :]), axis=-1)
+        z_i_x_j = jnp.sum(jax.lax.population_count(
+            rz[:, :, None, :] & rx[:, None, :, :]), axis=-1)
+        anti = (((x_i_z_j + z_i_x_j) & 1) != 0)
         R = self.RT
         lower = jnp.tril(jnp.ones((R, R), bool), k=-1)
         return anti & lower[None] & valid[:, :, None] & valid[:, None, :]
@@ -549,7 +604,8 @@ class PauliEnvCore:
             budget_out = jnp.maximum(budget_out, 0)
             count_out = count + any_valid.astype(jnp.int32)
             return (budget_out, count_out), (
-                x & any_valid[:, None], z & any_valid[:, None],
+                pack_bits_lastdim(x & any_valid[:, None], self.Wn),
+                pack_bits_lastdim(z & any_valid[:, None], self.Wn),
                 any_valid,
             )
 
@@ -557,10 +613,10 @@ class PauliEnvCore:
         (_, _), (xs, zs, made) = jax.lax.scan(
             gen_one, (pauli_difficulty, jnp.zeros(B, jnp.int32)), keys
         )
-        rx = jnp.moveaxis(xs, 0, 1).astype(jnp.int8)   # [B, R, n]
-        rz = jnp.moveaxis(zs, 0, 1).astype(jnp.int8)
+        rx = jnp.moveaxis(xs, 0, 1)                    # uint32 [B, R, Wn]
+        rz = jnp.moveaxis(zs, 0, 1)
         valid = jnp.moveaxis(made, 0, 1)               # [B, R]
-        num_y = jnp.sum((rx & rz).astype(jnp.int32), axis=-1)
+        num_y = jnp.sum(jax.lax.population_count(rx & rz), axis=-1)
         rphase = (num_y % 4).astype(jnp.int8)
         return rx, rz, rphase, valid
 
@@ -602,7 +658,10 @@ class PauliEnvCore:
         pauli_difficulty = diff_arr // self.pauli_diff_scale
 
         if rotations_override is not None:
+            # override carries UNPACKED x/z bits [B, RT, n] (test hook)
             rx, rz, rphase, valid = rotations_override
+            rx = pack_bits_lastdim(jnp.asarray(rx), self.Wn)
+            rz = pack_bits_lastdim(jnp.asarray(rz), self.Wn)
         else:
             rx, rz, rphase, valid = self._generate_rotations(
                 k_rot, B, pauli_difficulty
@@ -656,7 +715,9 @@ class PauliEnvCore:
                 ph[b, i] = p.phase
                 valid[b, i] = True
 
-        rx_j, rz_j, valid_j = jnp.asarray(rx), jnp.asarray(rz), jnp.asarray(valid)
+        rx_j = jnp.asarray(pack_bits_np(rx, self.Wn))
+        rz_j = jnp.asarray(pack_bits_np(rz, self.Wn))
+        valid_j = jnp.asarray(valid)
         anti = self._build_anti(rx_j, rz_j, valid_j)
         tab_j = jnp.asarray(tab)
         success = self._solved(tab_j, valid_j)
@@ -676,14 +737,17 @@ class PauliEnvCore:
         B = state.batch
         tab = unpack_rows(state.tab, self.W2, self.D2, self.dim)[
             :, :, : self.dim].astype(jnp.int8)
-        # rotation columns [B, 2n, R] from bits
+        # rotation columns [B, 2n, R] from the packed bits
+        rx_b = unpack_bits_lastdim(state.rx, n)          # [B, R, n]
+        rz_b = unpack_bits_lastdim(state.rz, n)
         cols = jnp.concatenate(
-            [jnp.swapaxes(state.rx, 1, 2), jnp.swapaxes(state.rz, 1, 2)], axis=1
+            [jnp.swapaxes(rx_b, 1, 2), jnp.swapaxes(rz_b, 1, 2)], axis=1
         )
+        active = state.active
         # stable left-compaction of active columns: sel[r, dst] one-hot
-        pos = jnp.cumsum(state.active.astype(jnp.int32), axis=-1) - 1  # [B, R]
+        pos = jnp.cumsum(active.astype(jnp.int32), axis=-1) - 1       # [B, R]
         dst = jnp.arange(self.R)
-        sel = (pos[:, :, None] == dst[None, None, :]) & state.active[:, :, None]
+        sel = (pos[:, :, None] == dst[None, None, :]) & active[:, :, None]
         cols = jax.lax.dot_general(
             cols.astype(jnp.int32), sel.astype(jnp.int32),
             (((2,), (1,)), ((0,), (0,))),

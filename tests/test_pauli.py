@@ -124,9 +124,11 @@ def test_pauli_reset_structure():
     state = jax.jit(core.reset, static_argnums=(1, 2))(
         jax.random.key(0), 64, 24
     )
+    # rotation bits are packed uint32 [B, R, Wn]; unpack to [B, R, n]
+    from qiskit_gym_tpu.ops.pauli import unpack_bits_lastdim
     active = np.asarray(state.active)
-    rx = np.asarray(state.rx)
-    rz = np.asarray(state.rz)
+    rx = np.asarray(unpack_bits_lastdim(state.rx, core.num_qubits))
+    rz = np.asarray(unpack_bits_lastdim(state.rz, core.num_qubits))
     # every active rotation is a valid non-identity Pauli
     w = ((rx | rz).sum(axis=2))
     assert (w[active] >= 1).all()
