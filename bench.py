@@ -69,13 +69,10 @@ def bench_core(core, B: int, K: int, repeats: int = 3) -> float:
 
 
 def main():
-    # per-family env batch width, measured-best on v5e (pauli's rotation
-    # pipeline peaks at 16k; the matrix families keep scaling to 32k);
-    # an argv override applies to every family
     B_cli = int(sys.argv[1]) if len(sys.argv) > 1 else None
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     B_mat = B_cli or 32768
-    B_pauli = B_cli or 16384
+    B_pauli = B_cli or 32768
 
     results = {}
 

@@ -365,6 +365,86 @@ class MatrixEnvCore:
         self.mq2 = jnp.asarray(np.concatenate([mt.q2, [0]]))
         self.ident = jnp.asarray(np.eye(self.D, dtype=np.int8))
         self.noop_action = len(self.gateset)
+        self._build_fat_table()
+
+    # ------------------------------------------------- consolidated gather
+    # A per-action table gather costs ~110-145 us/step at B=32k REGARDLESS
+    # of width (fixed dispatch cost); the original step did 7 of them
+    # (mtype/q1/q2 + U/S term tables x2 directions). One fat f32 table
+    # gathered ONCE per step and decoded with cheap bit ops removes ~all of
+    # it (clifford metrics+update profile: 1906 -> see docs/PERF.md). Every
+    # column is exactly representable in f32: gate-table words are stored
+    # as 4 bytes (<= 255) and lane masks as 0/1 bits.
+
+    def _build_fat_table(self):
+        A1 = self.num_actions + 1
+        mt = np.asarray(self.mtype, np.float32)
+        q1 = np.asarray(self.mq1, np.float32)
+        q2 = np.asarray(self.mq2, np.float32)
+        cols = [mt, q1, q2]
+        if self.bitpack:
+            K, W, Dr = self.U32.shape[1], self.W, self.dim
+            for T in (np.asarray(self.U32), np.asarray(self.S32)):
+                for k in range(K):
+                    for w in range(W):
+                        for byte in range(4):
+                            cols.append(
+                                ((T[:, k, w] >> (8 * byte)) & 0xFF
+                                 ).astype(np.float32))
+            if self.add_inverts:
+                for T in (np.asarray(self.Ulm), np.asarray(self.Slm)):
+                    for k in range(K):
+                        for d in range(Dr):
+                            cols.append((T[:, k, d] != 0).astype(np.float32))
+            self._fat_K, self._fat_W, self._fat_Dr = K, W, Dr
+        else:
+            Ug = np.asarray(self.Ug, np.float32)   # [A1, D, K]
+            Sg = np.asarray(self.Sg, np.float32)   # [A1, K, D]
+            D, K = Ug.shape[1], Ug.shape[2]
+            cols.append(Ug.reshape(A1, D * K).T)
+            cols.append(Sg.reshape(A1, K * D).T)
+            self._fat_K, self._fat_D = K, D
+        self.fat_tab = jnp.asarray(
+            np.concatenate([np.atleast_2d(c) for c in cols], axis=0).T
+        )  # [A1, F]
+
+    def _decode_action_tables(self, action):
+        """One gather from the consolidated table -> all per-action operands:
+        (mtype, q1, q2, gate_terms) where gate_terms is (U32, S32, Ulm, Slm)
+        packed or (Ug, Sg) dense."""
+        vals = self.fat_tab[action]                       # [B, F]
+        mtype = vals[:, 0].astype(jnp.int32)
+        q1 = vals[:, 1].astype(jnp.int32)
+        q2 = vals[:, 2].astype(jnp.int32)
+        o = 3
+        B = action.shape[0]
+        if self.bitpack:
+            K, W, Dr = self._fat_K, self._fat_W, self._fat_Dr
+            nb = K * W * 4
+
+            def words(block):
+                b = block.astype(jnp.uint32).reshape(B, K, W, 4)
+                return (b[..., 0] | (b[..., 1] << 8)
+                        | (b[..., 2] << 16) | (b[..., 3] << 24))
+
+            U32 = words(vals[:, o:o + nb]); o += nb
+            S32 = words(vals[:, o:o + nb]); o += nb
+            if self.add_inverts:
+                nm = K * Dr
+                Ulm = jnp.where(vals[:, o:o + nm].reshape(B, K, Dr) != 0,
+                                _FULL32, np.uint32(0)); o += nm
+                Slm = jnp.where(vals[:, o:o + nm].reshape(B, K, Dr) != 0,
+                                _FULL32, np.uint32(0)); o += nm
+            else:
+                Ulm = Slm = None
+            terms = (U32, S32, Ulm, Slm)
+        else:
+            K, D = self._fat_K, self._fat_D
+            Ug = vals[:, o:o + D * K].reshape(B, D, K).astype(jnp.int8)
+            o += D * K
+            Sg = vals[:, o:o + K * D].reshape(B, K, D).astype(jnp.int8)
+            terms = (Ug, Sg)
+        return mtype, q1, q2, terms
 
     # ------------------------------------------------------------ properties
     @property
@@ -390,25 +470,26 @@ class MatrixEnvCore:
         Bitpacked path — same math on [B, W*D] uint32: source-row combos via
         popcount-parity over the word groups, inverse column combos via lane
         XOR-reduce, updates as broadcast AND-masks + XOR."""
+        _, _, _, terms = self._decode_action_tables(action)
+        return self._apply_gates_terms(a, ainv, terms)
+
+    def _apply_gates_terms(self, a, ainv, terms):
+        """apply_gates on pre-decoded per-env term tables (one fat gather
+        upstream instead of 2-4 separate table gathers)."""
         if self.bitpack:
-            return self._apply_gates_packed(a, ainv, action)
-        U = self.Ug[action]  # [B, D, 2] int8
-        S = self.Sg[action]  # [B, 2, D] int8
+            U32, S32, Ulm, Slm = terms
+            new_a = packed_apply_left(U32, S32, a, self.W, self.dim)
+            if not self.add_inverts:
+                return new_a, ainv
+            new_ainv = packed_apply_right(Ulm, Slm, ainv, self.W, self.dim)
+            return new_a, new_ainv
+        U, S = terms             # [B, D, K], [B, K, D] int8
         new_a = rank_terms_apply_left(U, S, a)
         if not self.add_inverts:
             # the inverse buffer is only consumed by the random-inversion
             # swap; don't touch it when the feature is off
             return new_a, ainv
         new_ainv = rank_terms_apply_right(U, S, ainv)
-        return new_a, new_ainv
-
-    def _apply_gates_packed(self, a, ainv, action):
-        new_a = packed_apply_left(self.U32[action], self.S32[action],
-                                  a, self.W, self.dim)
-        if not self.add_inverts:
-            return new_a, ainv
-        new_ainv = packed_apply_right(self.Ulm[action], self.Slm[action],
-                                      ainv, self.W, self.dim)
         return new_a, new_ainv
 
     def _solved(self, a) -> jnp.ndarray:
@@ -441,27 +522,35 @@ class MatrixEnvCore:
         return self._metrics_update_xla(state, action)
 
     def _metrics_update_xla(self, state: MatrixEnvState, action):
+        mtype, q1, q2, _ = self._decode_action_tables(action)
+        noop = action == self.noop_action
+        return self._metrics_update_terms(state, mtype, q1, q2, noop)
+
+    def _metrics_update_terms(self, state, mtype, q1, q2, noop):
+        # The per-qubit layer arrays are processed B-MINOR ([n, B], envs on
+        # the 128-lane axis): a [B, n] op at n=27 pads the minor dim to 128
+        # lanes, wasting ~4.7x of both the vector registers and the memory
+        # traffic. State stays B-major (rollout tree ops assume batch on
+        # axis 0); transpose in and out here.
         n = self.num_qubits
-        mtype = self.mtype[action]                     # [B]
-        q1 = self.mq1[action]
-        q2 = self.mq2[action]
-        qid = jnp.arange(n, dtype=jnp.int32)
-        oh1 = q1[:, None] == qid[None, :]              # [B, n]
-        oh2 = q2[:, None] == qid[None, :]
+        qid = jnp.arange(n, dtype=jnp.int32)[:, None]  # [n, 1]
+        oh1 = q1[None, :] == qid                       # [n, B]
+        oh2 = q2[None, :] == qid
+        lgT = state.last_g.T                           # [n, B]
+        lcT = state.last_c.T
 
         # one-hot masked-max reductions instead of per-lane gathers (last_*
         # can be -1, so mask with a large negative instead of 0)
         neg = jnp.int32(-(2 ** 30))
-        lg1 = jnp.max(jnp.where(oh1, state.last_g, neg), axis=1)
-        lg2 = jnp.max(jnp.where(oh2, state.last_g, neg), axis=1)
-        lc1 = jnp.max(jnp.where(oh1, state.last_c, neg), axis=1)
-        lc2 = jnp.max(jnp.where(oh2, state.last_c, neg), axis=1)
+        lg1 = jnp.max(jnp.where(oh1, lgT, neg), axis=0)
+        lg2 = jnp.max(jnp.where(oh2, lgT, neg), axis=0)
+        lc1 = jnp.max(jnp.where(oh1, lcT, neg), axis=0)
+        lc2 = jnp.max(jnp.where(oh2, lcT, neg), axis=0)
 
         is1q = mtype == MT_1Q
         iscx = mtype == MT_CX
         iscz = mtype == MT_CZ
         issw = mtype == MT_SWAP
-        noop = action == self.noop_action
 
         m_cx = jnp.maximum(lg1, lg2) + 1
         m_sw = jnp.maximum(lg1, lg2) + 3
@@ -474,16 +563,16 @@ class MatrixEnvCore:
              jnp.where(issw, m_sw, m_cz + 1)))
         v1 = jnp.where(noop, lg1, v1)
         v2 = jnp.where(noop, lg2, v2)
-        new_last_g = jnp.where(oh2, v2[:, None],
-                     jnp.where(oh1, v1[:, None], state.last_g))
+        new_last_g = jnp.where(oh2, v2[None, :],
+                     jnp.where(oh1, v1[None, :], lgT)).T
 
         c_inc = jnp.where(issw, 3, 1)
         c_new = jnp.maximum(lc1, lc2) + c_inc
         has_cx = (~is1q) & (~noop)
         w1 = jnp.where(has_cx, c_new, lc1)
         w2 = jnp.where(has_cx, c_new, lc2)
-        new_last_c = jnp.where(oh2, w2[:, None],
-                     jnp.where(oh1, w1[:, None], state.last_c))
+        new_last_c = jnp.where(oh2, w2[None, :],
+                     jnp.where(oh1, w1[None, :], lcT)).T
 
         new_max_g = jnp.maximum(state.max_g, jnp.maximum(v1, v2))
         new_max_c = jnp.maximum(state.max_c, jnp.maximum(w1, w2))
@@ -518,8 +607,17 @@ class MatrixEnvCore:
     ) -> MatrixEnvState:
         """One batched env step. `key` is consumed for the inversion coin-flip;
         `invert_override` (bool [B]) injects the flips for trace tests."""
-        state, penalty = self._metrics_update(state, action)
-        new_a, new_ainv = self.apply_gates(state.a, state.ainv, action)
+        if self.use_pallas_metrics:
+            state, penalty = self._metrics_update(state, action)
+            new_a, new_ainv = self.apply_gates(state.a, state.ainv, action)
+        else:
+            # ONE consolidated table gather feeds metrics AND gate terms
+            mtype, q1, q2, terms = self._decode_action_tables(action)
+            noop = action == self.noop_action
+            state, penalty = self._metrics_update_terms(
+                state, mtype, q1, q2, noop)
+            new_a, new_ainv = self._apply_gates_terms(
+                state.a, state.ainv, terms)
 
         if self.add_inverts:
             if invert_override is None:

@@ -233,6 +233,7 @@ class PauliEnvCore:
         self.mtype = jnp.asarray(np.concatenate([mt.mtype, [MT_1Q]]))
         self.mq1 = jnp.asarray(np.concatenate([mt.q1, [0]]))
         self.mq2 = jnp.asarray(np.concatenate([mt.q2, [0]]))
+        self._build_fat_table()
 
         # symmetry: qubit automorphisms as one-hot matrices + action perms
         if add_perms:
@@ -302,6 +303,57 @@ class PauliEnvCore:
         self.scS32 = jnp.asarray(scS32)
         self.n_scramble = len(prim)
 
+    # ------------------------------------------------- consolidated gather
+    # Same design as MatrixEnvCore: per-action table gathers cost
+    # ~110-145 us/step each at B=16k+ regardless of width; the Pauli step
+    # needed 8 (mtype/q1/q2, ptype/pq1/pq2, U32/S32). One fat f32 table,
+    # gathered once per step, replaces them all; every column is exactly
+    # f32-representable (<= 255).
+
+    def _build_fat_table(self):
+        A1 = self.num_actions + 1
+        cols = [np.asarray(self.mtype, np.float32),
+                np.asarray(self.mq1, np.float32),
+                np.asarray(self.mq2, np.float32)]
+        for T in (np.asarray(self.ptype), np.asarray(self.pq1),
+                  np.asarray(self.pq2)):
+            for k in range(MAX_PRIMS):
+                cols.append(T[:, k].astype(np.float32))
+        K2, W2 = self.U32.shape[1], self.W2
+        for T in (np.asarray(self.U32), np.asarray(self.S32)):
+            for k in range(K2):
+                for w in range(W2):
+                    for byte in range(4):
+                        cols.append(((T[:, k, w] >> (8 * byte)) & 0xFF
+                                     ).astype(np.float32))
+        self._fat_K2 = K2
+        self.fat_tab = jnp.asarray(np.stack(cols, axis=1))   # [A1, F]
+
+    def _decode_action_tables(self, action):
+        """(mtype, q1, q2, extras) with extras = (U32, S32, pt, p1, p2);
+        the first three match MatrixEnvCore's layout so the shared metrics
+        kernel works unchanged."""
+        vals = self.fat_tab[action]                           # [B, F]
+        B = action.shape[0]
+        mtype = vals[:, 0].astype(jnp.int32)
+        q1 = vals[:, 1].astype(jnp.int32)
+        q2 = vals[:, 2].astype(jnp.int32)
+        o = 3
+        pt = vals[:, o:o + MAX_PRIMS].astype(jnp.int32); o += MAX_PRIMS
+        p1 = vals[:, o:o + MAX_PRIMS].astype(jnp.int32); o += MAX_PRIMS
+        p2 = vals[:, o:o + MAX_PRIMS].astype(jnp.int32); o += MAX_PRIMS
+        K2, W2 = self._fat_K2, self.W2
+        nb = K2 * W2 * 4
+
+        def words(block):
+            b = block.astype(jnp.uint32).reshape(B, K2, W2, 4)
+            return (b[..., 0] | (b[..., 1] << 8)
+                    | (b[..., 2] << 16) | (b[..., 3] << 24))
+
+        U32 = words(vals[:, o:o + nb]); o += nb
+        S32 = words(vals[:, o:o + nb]); o += nb
+        return mtype, q1, q2, (U32, S32, pt, p1, p2)
+
     # ------------------------------------------------------------ properties
     @property
     def num_actions(self) -> int:
@@ -359,17 +411,15 @@ class PauliEnvCore:
             (activeT, jnp.zeros(activeT.shape[-1], jnp.int32)),
         )
 
-    def _apply_primitives(self, state: PauliEnvState, action):
+    def _apply_primitives(self, state: PauliEnvState, pt, p1, p2):
         """Evolve rotations (bits + phases) through the action's primitive
-        sequence, running the trivial sweep after every CNOT.
+        sequence (pre-decoded tables pt/p1/p2 [B, MAX_PRIMS]), running the
+        trivial sweep after every CNOT.
 
         Packed form: each primitive reads one or two qubit BITS per rotation
         (xa/za/xb at dynamic qubit positions, via single-bit word masks) and
         writes back single-bit XOR terms — every array in the loop is
         [B, R, Wn] uint32 or [B, R] rather than [B, R, n]."""
-        pt = self.ptype[action]   # [B, MAX_PRIMS]
-        p1 = self.pq1[action]
-        p2 = self.pq2[action]
         antiT = jnp.moveaxis(state.anti, 0, -1)            # [R, R, B]
 
         def slot(k, carry, with_cleanup):
@@ -431,13 +481,19 @@ class PauliEnvCore:
                 ph.astype(jnp.int8).T, active.T, removed)
 
     # metrics: shares the closed-form running-max kernel with MatrixEnvCore
-    # (same state fields and per-action tables, incl. the fused Pallas path)
+    # (same state fields and per-action tables, incl. the fused Pallas path);
+    # _metrics_update_xla works through this class's own fat-table decode
     use_pallas_metrics = MatrixEnvCore.use_pallas_metrics
     _metrics_update = MatrixEnvCore._metrics_update
     _metrics_update_xla = MatrixEnvCore._metrics_update_xla
+    _metrics_update_terms = MatrixEnvCore._metrics_update_terms
 
     def translate_action(self, state: PauliEnvState, action):
         """Policy-frame -> env-frame action through the active automorphism."""
+        if self.num_perms == 1:
+            # trivial automorphism group (e.g. 27q heavy-hex): identity map,
+            # skip the per-env 2-D table gather entirely
+            return action
         return self.act_perms[state.perm_idx, action]
 
     # ----------------------------------------------------------------- step
@@ -450,12 +506,16 @@ class PauliEnvCore:
     ) -> PauliEnvState:
         # un-permute the incoming action through the active automorphism
         actual = self.translate_action(state, action)
-        state, penalty = self._metrics_update(state, actual)
+        # ONE consolidated table gather feeds metrics, the tableau update
+        # terms, and the primitive sequence
+        mtype, q1, q2, (U32, S32, pt, p1, p2) = (
+            self._decode_action_tables(actual))
+        noop = actual == self.noop_action
+        state, penalty = self._metrics_update_terms(state, mtype, q1, q2,
+                                                    noop)
+        new_tab = packed_apply_left(U32, S32, state.tab, self.W2, self.D2)
 
-        new_tab = packed_apply_left(self.U32[actual], self.S32[actual],
-                                    state.tab, self.W2, self.D2)
-
-        rx, rz, ph, active, removed = self._apply_primitives(state, actual)
+        rx, rz, ph, active, removed = self._apply_primitives(state, pt, p1, p2)
 
         # resample the automorphism for the next observe (explicit state
         # instead of the reference's observe-time AtomicUsize side channel)
