@@ -395,3 +395,51 @@ def test_packed_apply_matches_dense_fuzz():
             want_r = (a_dense[b] @ G) % 2
             assert np.array_equal(np.asarray(got_l[b]), want_l), trial
             assert np.array_equal(np.asarray(got_r[b]), want_r), trial
+
+
+# ------------------------------------------------- fat-table decode exactness
+
+
+@pytest.mark.parametrize("kind,names,n", [
+    ("permutation", ["SWAP"], 5),
+    ("linear", ["CX", "SWAP"], 5),
+    ("clifford", ["H", "S", "Sdg", "SX", "SXdg", "CX", "CZ", "SWAP"], 3),
+    ("clifford", ["H", "S", "Sdg", "SX", "SXdg", "CX", "CZ", "SWAP"], 17),
+])
+def test_fat_table_decode_exact(kind, names, n):
+    """The consolidated per-action f32 table must decode bit-for-bit back to
+    every original table (the step's only source of per-action data)."""
+    core = MatrixEnvCore(n, line_gateset(names, n), kind)
+    acts = jnp.arange(core.num_actions + 1)
+    mtype, q1, q2, terms = jax.jit(core._decode_action_tables)(acts)
+    assert np.array_equal(np.asarray(mtype), np.asarray(core.mtype))
+    assert np.array_equal(np.asarray(q1), np.asarray(core.mq1))
+    assert np.array_equal(np.asarray(q2), np.asarray(core.mq2))
+    if core.bitpack:
+        U32, S32, Ulm, Slm = terms
+        assert np.array_equal(np.asarray(U32), np.asarray(core.U32))
+        assert np.array_equal(np.asarray(S32), np.asarray(core.S32))
+        assert np.array_equal(np.asarray(Ulm), np.asarray(core.Ulm))
+        assert np.array_equal(np.asarray(Slm), np.asarray(core.Slm))
+    else:
+        Ug, Sg = terms
+        assert np.array_equal(np.asarray(Ug), np.asarray(core.Ug))
+        assert np.array_equal(np.asarray(Sg), np.asarray(core.Sg))
+
+
+def test_fat_table_decode_exact_pauli():
+    from qiskit_gym_tpu.ops.pauli import PauliEnvCore
+
+    names = ["H", "S", "Sdg", "SX", "SXdg", "CX", "CZ", "SWAP"]
+    core = PauliEnvCore(4, line_gateset(names, 4))
+    acts = jnp.arange(core.num_actions + 1)
+    mtype, q1, q2, (U32, S32, pt, p1, p2) = jax.jit(
+        core._decode_action_tables)(acts)
+    assert np.array_equal(np.asarray(mtype), np.asarray(core.mtype))
+    assert np.array_equal(np.asarray(q1), np.asarray(core.mq1))
+    assert np.array_equal(np.asarray(q2), np.asarray(core.mq2))
+    assert np.array_equal(np.asarray(U32), np.asarray(core.U32))
+    assert np.array_equal(np.asarray(S32), np.asarray(core.S32))
+    assert np.array_equal(np.asarray(pt), np.asarray(core.ptype))
+    assert np.array_equal(np.asarray(p1), np.asarray(core.pq1))
+    assert np.array_equal(np.asarray(p2), np.asarray(core.pq2))
