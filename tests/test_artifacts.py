@@ -105,6 +105,24 @@ def test_clifford_heavy_hex_artifact():
                           Clifford(target).tableau[:, :-1])
 
 
+def test_pauli_5_line_artifact():
+    """5q line Pauli-network policy (PPO + episode packing to curriculum
+    difficulty 256) synthesizes a Clifford+rotation target; unitary must
+    match up to global phase (exercises rotation decode, transposed-cnot
+    convention, and the Clifford phase-correction layer end-to-end)."""
+    from qiskit_gym_tpu.quantum import allclose_up_to_global_phase
+
+    rls = _load("pauli_5_line")
+    target = Circuit(5)
+    target.h(0).cx(0, 1).rz(0.7, 1).cx(1, 2).rx(0.3, 2)
+    out = rls.synth(target, deterministic=True, num_searches=1)
+    if out is None:
+        out = rls.synth(target, num_searches=32)
+    assert out is not None
+    assert allclose_up_to_global_phase(circuit_unitary(out),
+                                       circuit_unitary(target))
+
+
 def test_az_clifford_heavy_hex_artifact():
     """27q heavy-hex AZ Clifford policy (warm-started from the PPO artifact,
     48-sim self-play to curriculum difficulty 39) solves greedily."""
