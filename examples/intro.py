@@ -4,7 +4,8 @@ Run:  PYTHONPATH=.. python intro.py        (CPU ok; TPU much faster)
 
 Covers: building gyms from coupling maps, manual Gymnasium stepping,
 PPO training with the difficulty curriculum, synthesis + round-trip
-verification, config/checkpoint persistence, and AlphaZero/MCTS solve.
+verification, config/checkpoint persistence, AlphaZero/MCTS solve, and
+Pauli-network (Clifford + rotation) synthesis with a shipped artifact.
 """
 
 import numpy as np
@@ -94,7 +95,27 @@ def clifford_phase_exact():
     print("unitary-exact (up to global phase):", exact)
 
 
+def pauli_network_synthesis():
+    print("\n=== 4. Pauli-network synthesis (shipped artifact) ===")
+    import os
+
+    cfg = os.path.join(os.path.dirname(__file__), "models",
+                       "pauli_5_line.json")
+    if not os.path.exists(cfg):
+        print("(pauli_5_line artifact not present — skipping)")
+        return
+    rls = RLSynthesis.from_config_json(cfg, cfg[:-5] + ".pt")
+    target = Circuit(5).h(0).cx(0, 1).rz(0.7, 1).cx(1, 2).rx(0.3, 2)
+    out = rls.synth(target, deterministic=True, num_searches=1)
+    if out is None:
+        out = rls.synth(target, num_searches=32)
+    exact = out is not None and allclose_up_to_global_phase(
+        circuit_unitary(out), circuit_unitary(target))
+    print("rotation circuit unitary-exact (up to global phase):", exact)
+
+
 if __name__ == "__main__":
     manual_stepping()
     train_and_synth()
     clifford_phase_exact()
+    pauli_network_synthesis()
