@@ -85,8 +85,12 @@ def main():
     env = PermutationGym.from_coupling_map(HEAVY_HEX_27, max_depth=128)
     results["permutation_27q"] = bench_core(env.core, B_mat, K)
 
+    # pauli_diff_scale=8 (the native-core default): the difficulty-8 reset
+    # then carries one active rotation per lane, so the measured workload
+    # includes rotation tracking (the gym-layer default is 16, under which
+    # difficulty 8 would reset rotation-free; cost is shape-static either way)
     env = PauliGym.from_coupling_map(HEAVY_HEX_27, max_depth=128,
-                                     max_rotations=5)
+                                     max_rotations=5, pauli_diff_scale=8)
     results["pauli_network_27q"] = bench_core(env.core, B_pauli, K)
 
     for name, v in results.items():

@@ -309,6 +309,11 @@ class PauliGym(BaseSynthesisEnv):
     spec_cls = PauliSpecEnv
 
     def __init__(self, **config):
+        # The Python gym layer defaults pauli_diff_scale to 16, overriding
+        # the native default of 8 (reference envs/synthesis.py:388 vs
+        # rust/src/envs/pauli.rs:758-775). Rotations thus appear at
+        # difficulty >= 16 under a from_coupling_map default build.
+        config.setdefault("pauli_diff_scale", 16)
         super().__init__(**config)
         self._rotation_params: List[float] = []
         self._original_circuit: Optional[Circuit] = None
@@ -323,7 +328,7 @@ class PauliGym(BaseSynthesisEnv):
             depth_slope=c.get("depth_slope", 2),
             max_depth=c.get("max_depth", 128),
             max_rotations=c.get("max_rotations", 5),
-            pauli_diff_scale=c.get("pauli_diff_scale", 8),
+            pauli_diff_scale=c.get("pauli_diff_scale", 16),
             num_qubits_decay=c.get("num_qubits_decay", 0.5),
             final_pauli_layers=c.get("final_pauli_layers"),
             metrics_weights=c.get("metrics_weights"),

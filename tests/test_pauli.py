@@ -135,7 +135,8 @@ def test_pauli_reset_structure():
     # active rotations are non-trivial (weight>1) or blocked by an earlier one
     depth = np.asarray(state.depth)
     assert (depth == np.minimum(2 * 24, core.max_depth)).all()
-    # some lanes should have rotations at difficulty 24 (24//8 = 3 budget)
+    # some lanes should have rotations at difficulty 24 (24//16 = 1 budget
+    # under the gym-layer default pauli_diff_scale=16)
     assert active.any()
 
 
@@ -146,6 +147,23 @@ def test_pauli_gym_obs_shape_and_json():
     gym2 = PauliGym.from_json(blob)
     assert gym2.gateset == gym.gateset
     assert gym2.config["max_rotations"] == 4
+
+
+def test_pauli_gym_diff_scale_default_matches_reference():
+    """The Python gym layer defaults pauli_diff_scale to 16 (reference
+    envs/synthesis.py:388), overriding the native-core default of 8
+    (reference rust/src/envs/pauli.rs:758-775); explicit values pass
+    through to both the spec env and the batched core."""
+    gym = make_gym(3)
+    assert gym.spec.pauli_diff_scale == 16
+    assert gym.core.pauli_diff_scale == 16
+    assert PauliSpecEnv(num_qubits=2, gateset=[("H", (0,)), ("CX", (0, 1))],
+                        difficulty=1, depth_slope=2, max_depth=16) \
+        .pauli_diff_scale == 8
+    gym8 = make_gym(3, pauli_diff_scale=8)
+    assert gym8.spec.pauli_diff_scale == 8
+    assert gym8.core.pauli_diff_scale == 8
+    assert PauliGym.from_json(gym8.to_json()).core.pauli_diff_scale == 8
 
 
 # -------------------------------------------------------- synthesis roundtrip
@@ -211,8 +229,8 @@ def test_pauli_ppo_learn_smoke():
                     evals={"ppo_deterministic": EvalConfig(num_episodes=8)})
     rls = RLSynthesis(gym, cfg, BasicPolicyConfig(embedding_size=32,
                                                   common_layers=[16]))
-    rls.learn(initial_difficulty=8, num_iterations=2)
-    # difficulty 8 -> pauli budget 1: rotations likely present; train ran
+    rls.learn(initial_difficulty=16, num_iterations=2)
+    # difficulty 16 -> pauli budget 1: rotations likely present; train ran
     assert rls.algorithm.iteration == 2
 
 
