@@ -306,6 +306,20 @@ class PPO:
         save_torch_checkpoint(
             self.params, os.path.join(self.run_path, f"checkpoint_{self.iteration}.pt")
         )
+        # resume-capable snapshot (optimizer state, RNG, iteration,
+        # curriculum difficulty) alongside the params-only checkpoints
+        self.save_training_state(os.path.join(self.run_path,
+                                              "train_state.msgpack"))
+
+    def save_training_state(self, path: str) -> None:
+        from .checkpoint import save_training_state
+
+        save_training_state(self, path)
+
+    def restore_training_state(self, path: str) -> None:
+        from .checkpoint import restore_training_state
+
+        restore_training_state(self, path)
 
     # ---------------------------------------------------------------- solve
     def solve(

@@ -249,3 +249,37 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     loaded = load_params(path, template=params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_training_state_resume_roundtrip(tmp_path):
+    """Full training-state snapshots (params + Adam state + RNG + iteration +
+    curriculum difficulty) restore into a freshly built algorithm and resume
+    learning; the reference persists params only."""
+    import jax
+
+    def build():
+        env = PermutationGym.from_coupling_map(GRID_2x2, max_depth=32)
+        return RLSynthesis(env, small_ppo(), BasicPolicyConfig(
+            embedding_size=16, common_layers=[8]))
+
+    rls = build()
+    rls.learn(initial_difficulty=2, num_iterations=2)
+    path = str(tmp_path / "train_state.msgpack")
+    rls.algorithm.save_training_state(path)
+
+    rls2 = build()
+    rls2.algorithm.restore_training_state(path)
+    assert rls2.algorithm.iteration == 2
+    assert rls2.env.difficulty == rls.env.difficulty
+    for a, b in zip(jax.tree.leaves(rls.algorithm.params),
+                    jax.tree.leaves(rls2.algorithm.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(rls.algorithm.opt_state),
+                    jax.tree.leaves(rls2.algorithm.opt_state)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(
+        np.asarray(jax.random.key_data(rls.algorithm.key)),
+        np.asarray(jax.random.key_data(rls2.algorithm.key)))
+    # resumed learning proceeds from the restored counter
+    rls2.algorithm.learn(num_iterations=1)
+    assert rls2.algorithm.iteration == 3
