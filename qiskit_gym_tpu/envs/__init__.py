@@ -11,7 +11,12 @@ from .synthesis import (
     TWO_Q_GATES,
     decode_pauli_solution,
 )
-from .adapters import gym_adapter, GymnasiumEnv
+from .adapters import (
+    gym_adapter,
+    GymnasiumEnv,
+    vector_gym_adapter,
+    VectorGymnasiumEnv,
+)
 
 __all__ = [
     "BaseSynthesisEnv",
@@ -25,4 +30,6 @@ __all__ = [
     "decode_pauli_solution",
     "gym_adapter",
     "GymnasiumEnv",
+    "vector_gym_adapter",
+    "VectorGymnasiumEnv",
 ]

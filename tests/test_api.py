@@ -92,6 +92,41 @@ def test_gymnasium_adapter():
     assert steps <= 4  # depth budget = 2*2
 
 
+def test_vector_gymnasium_adapter():
+    """Batched device-resident vector env: gymnasium.vector-style API with
+    same-step autoreset; lanes that end return fresh observations and expose
+    the closing observation via infos['final_observation']."""
+    from qiskit_gym_tpu.envs import vector_gym_adapter
+
+    env = LinearFunctionGym.from_coupling_map(LINE_3, max_depth=8)
+    venv = vector_gym_adapter(env, num_envs=32, difficulty=2, seed=5)
+    obs, info = venv.reset()
+    assert obs.shape == (32, 3, 3)
+    assert set(np.unique(obs)) <= {0, 1}
+    assert venv.single_action_space.n == env.num_actions()
+    assert venv.masks().shape == (32, env.num_actions())
+
+    rng = np.random.default_rng(0)
+    saw_done = False
+    for _ in range(10):
+        actions = rng.integers(0, env.num_actions(), size=32)
+        obs, reward, term, trunc, infos = venv.step(actions)
+        assert obs.shape == (32, 3, 3)
+        assert reward.shape == term.shape == trunc.shape == (32,)
+        done = term | trunc
+        if done.any():
+            saw_done = True
+            assert infos["final_observation"].shape == (32, 3, 3)
+            assert (infos["_final_observation"] == done).all()
+    # 10 random steps at depth budget 4 must have ended some episode
+    assert saw_done
+
+    # difficulty setter re-jits; subsequent episodes run at the new level
+    venv.difficulty = 1
+    obs, _ = venv.reset()
+    assert obs.shape == (32, 3, 3)
+
+
 # -------------------------------------------------------------------- configs
 
 
