@@ -110,5 +110,21 @@ def main():
     }))
 
 
+def scale_sweep():
+    """Very-large-instance scaling (stderr only): Clifford at 127q and 433q
+    line maps, bitpacked symplectic tableaus (254x254 and 866x866 bits).
+    Run with `python bench.py --scale`; batch widths sized to fit HBM."""
+    for n, B in ((127, 8192), (433, 1024)):
+        line = [(i, i + 1) for i in range(n - 1)]
+        env = CliffordGym.from_coupling_map(line, max_depth=128)
+        v = bench_core(env.core, B, 32)
+        print(f"  clifford_{n}q_line (B={B}): {v / 1e6:.2f}M steps/s",
+              file=sys.stderr)
+
+
 if __name__ == "__main__":
-    main()
+    if "--scale" in sys.argv:
+        sys.argv.remove("--scale")
+        scale_sweep()
+    else:
+        main()

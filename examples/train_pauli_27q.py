@@ -58,7 +58,7 @@ def main():
               flush=True)
         # save every loop: an interrupted run keeps its latest policy
         rls.save("examples/models/pauli_heavy_hex_27q.json",
-                 "examples/models/pauli_heavy_hex_27q.pt")
+                 "examples/models/pauli_heavy_hex_27q.pt", best=True)
 
     print(f"saved at difficulty {difficulty} "
           f"after {rls.algorithm.iteration} iterations")

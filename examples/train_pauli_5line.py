@@ -47,7 +47,7 @@ def main():
               flush=True)
         # save every loop: an interrupted run keeps its latest policy
         rls.save("examples/models/pauli_5_line.json",
-                 "examples/models/pauli_5_line.pt")
+                 "examples/models/pauli_5_line.pt", best=True)
 
     print(f"saved at difficulty {difficulty} "
           f"after {rls.algorithm.iteration} iterations")

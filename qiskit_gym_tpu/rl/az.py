@@ -115,6 +115,9 @@ class AZ:
         self.run_path: Optional[str] = None
         self.tb_writer = None
         self.iteration = 0
+        # snapshot taken each time the curriculum gate passes (cf. PPO.learn)
+        self.best_params = None
+        self.best_difficulty = 0
         self._train_cache: Dict[tuple, callable] = {}
         self._eval_cache: Dict[tuple, callable] = {}
 
@@ -255,6 +258,9 @@ class AZ:
 
             gate = evals.get(cfg.diff_metric)
             if gate is not None and gate >= cfg.diff_threshold:
+                # proven at this difficulty — snapshot (cf. PPO.learn)
+                self.best_params = self.params
+                self.best_difficulty = difficulty
                 difficulty = min(difficulty + 1, cfg.diff_max)
                 self.env.difficulty = difficulty
 

@@ -28,7 +28,10 @@ def save_training_state(algo, path: str) -> None:
         "key": np.asarray(jax.random.key_data(algo.key)),
         "iteration": np.int32(algo.iteration),
         "difficulty": np.int32(getattr(algo.env, "difficulty", 1)),
+        "best_difficulty": np.int32(getattr(algo, "best_difficulty", 0)),
     }
+    if getattr(algo, "best_params", None) is not None:
+        payload["best_params"] = jax.tree.map(np.asarray, algo.best_params)
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
 
@@ -53,3 +56,7 @@ def restore_training_state(algo, path: str) -> None:
     algo.key = jax.random.wrap_key_data(jnp.asarray(payload["key"]))
     algo.iteration = int(payload["iteration"])
     algo.env.difficulty = int(payload["difficulty"])
+    algo.best_difficulty = int(payload.get("best_difficulty", 0))
+    if "best_params" in payload:
+        algo.best_params = serialization.from_state_dict(
+            jax.tree.map(lambda x: x, algo.params), payload["best_params"])

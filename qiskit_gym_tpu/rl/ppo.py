@@ -42,6 +42,10 @@ class PPO:
         self.run_path: Optional[str] = None
         self.tb_writer = None
         self.iteration = 0
+        # snapshot taken each time the curriculum gate passes (see learn());
+        # None until the first advance
+        self.best_params = None
+        self.best_difficulty = 0
         self._train_cache: Dict[int, callable] = {}
         self._eval_cache: Dict[tuple, callable] = {}
 
@@ -285,6 +289,15 @@ class PPO:
             # curriculum
             gate = evals.get(cfg.diff_metric)
             if gate is not None and gate >= cfg.diff_threshold:
+                # the policy just PROVED itself at this difficulty — snapshot
+                # it. A later hard-regime wall (zero success for hundreds of
+                # iterations) lets the entropy bonus walk the live params to
+                # uniform at EVERY difficulty within a few minibatched
+                # iterations (measured: 27q Pauli at the rotation onset
+                # destroyed a 0.86-eval policy in <4 iterations), so "last
+                # params" is not a safe artifact; "params at last advance" is.
+                self.best_params = self.params
+                self.best_difficulty = difficulty
                 difficulty = min(difficulty + 1, cfg.diff_max)
                 self.env.difficulty = difficulty
 

@@ -109,11 +109,20 @@ class RLSynthesis:
             "algorithm": self.rl_config.to_json(),
         }
 
-    def save(self, config_path: str, model_path: Optional[str] = None):
+    def save(self, config_path: str, model_path: Optional[str] = None,
+             best: bool = False):
+        """Persist config + params. `best=True` saves the snapshot taken at
+        the last curriculum advance instead of the live params — the safe
+        choice for periodic artifact saves, since a hard-regime wall can
+        degrade the live policy at every difficulty (docs/TRAINING.md);
+        falls back to the live params before the first advance."""
         with open(config_path, "w") as f:
             json.dump(self.to_json(), f, indent=2)
         if model_path is not None:
-            save_params(self.algorithm.params, model_path)
+            params = self.algorithm.params
+            if best and getattr(self.algorithm, "best_params", None) is not None:
+                params = self.algorithm.best_params
+            save_params(params, model_path)
 
     # ----------------------------------------------------------------- use
     def synth(

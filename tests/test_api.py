@@ -239,6 +239,39 @@ def test_curriculum_advances():
                                                   common_layers=[32]))
     rls.learn(initial_difficulty=1, num_iterations=8)
     assert env.difficulty > 1, "curriculum never advanced on a 3-qubit line"
+    # every gate pass snapshots the proven policy (artifact-safety: a later
+    # hard-regime wall can degrade the live params at every difficulty)
+    assert rls.algorithm.best_params is not None
+    assert rls.algorithm.best_difficulty >= 1
+
+
+def test_save_best_params(tmp_path):
+    """save(best=True) writes the last-advance snapshot, not the live
+    params; falls back to live params before any advance."""
+    import jax
+
+    from qiskit_gym_tpu.utils.serialization import load_params
+
+    env = PermutationGym.from_coupling_map(LINE_3, max_depth=16)
+    cfg = PPOConfig(num_episodes=8, num_epochs=1,
+                    evals={"ppo_deterministic": EvalConfig(num_episodes=4)})
+    rls = RLSynthesis(env, cfg, BasicPolicyConfig(embedding_size=16,
+                                                  common_layers=[8]))
+    # no advance yet -> best falls back to live
+    rls.save(str(tmp_path / "c.json"), str(tmp_path / "m.pt"), best=True)
+    got = load_params(str(tmp_path / "m.pt"))
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(rls.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # simulate an advance snapshot, then mutate live params
+    rls.algorithm.best_params = rls.algorithm.params
+    rls.algorithm.best_difficulty = 3
+    rls.algorithm.params = jax.tree.map(lambda x: x + 1.0,
+                                        rls.algorithm.params)
+    rls.save(str(tmp_path / "c.json"), str(tmp_path / "m.pt"), best=True)
+    got = load_params(str(tmp_path / "m.pt"))
+    for a, b in zip(jax.tree.leaves(got),
+                    jax.tree.leaves(rls.algorithm.best_params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_learn_writes_jsonl_metrics(tmp_path):

@@ -123,6 +123,22 @@ def test_pauli_5_line_artifact():
                                        circuit_unitary(target))
 
 
+def test_pauli_heavy_hex_27q_artifact():
+    """27q heavy-hex Pauli policy (PPO to curriculum difficulty 16, the
+    rotation-onset wall) solves Clifford-regime targets; the Pauli bridge's
+    final Clifford correction makes the tableau exact including phases."""
+    from qiskit_gym_tpu.quantum import Clifford
+
+    rls = _load("pauli_heavy_hex_27q")
+    target = Circuit(27)
+    target.h(0).cx(0, 1).s(1).cx(1, 2)
+    out = rls.synth(target, deterministic=True, num_searches=1)
+    if out is None:
+        out = rls.synth(target, num_searches=16)
+    assert out is not None
+    assert np.array_equal(Clifford(out).tableau, Clifford(target).tableau)
+
+
 def test_az_clifford_heavy_hex_artifact():
     """27q heavy-hex AZ Clifford policy (warm-started from the PPO artifact,
     48-sim self-play to curriculum difficulty 39) solves greedily."""
