@@ -139,6 +139,22 @@ def test_pauli_heavy_hex_27q_artifact():
     assert np.array_equal(Clifford(out).tableau, Clifford(target).tableau)
 
 
+def test_az_pauli_heavy_hex_artifact():
+    """27q heavy-hex AZ Pauli policy (MCTS self-play fine-tune of the PPO
+    artifact, proven through difficulty 15 under mcts_100 evals) solves a
+    Clifford-regime target."""
+    from qiskit_gym_tpu.quantum import Clifford
+
+    rls = _load("az_pauli_heavy_hex_27q")
+    target = Circuit(27)
+    target.cx(0, 1).h(0).s(2)
+    out = rls.synth(target, deterministic=True, num_searches=1)
+    if out is None:
+        out = rls.synth(target, num_searches=8, num_mcts_searches=16)
+    assert out is not None
+    assert np.array_equal(Clifford(out).tableau, Clifford(target).tableau)
+
+
 def test_az_clifford_heavy_hex_artifact():
     """27q heavy-hex AZ Clifford policy (warm-started from the PPO artifact,
     48-sim self-play to curriculum difficulty 39) solves greedily."""
