@@ -270,3 +270,50 @@ def test_pauli_tuple_input_with_params():
         assert all(abs(abs(g[2][0]) - 0.8) < 1e-9 for g in rots)
         break
     assert hit, "no tuple-input synthesis succeeded (stochastic search)"
+
+
+def test_pauli_27q_rotation_episode_constructively_solvable():
+    """A 27q rotation episode is solvable within the known recipe: undo the
+    scramble (inverse actions in reverse), one CX to sweep an adjacent-pair
+    rotation, one CX to restore the tableau. Guards the curriculum's
+    rotation regime against encoding/convention regressions at scale (the
+    training wall there is exploration difficulty, not unsolvability)."""
+    import copy
+
+    import numpy as np
+
+    from qiskit_gym_tpu.spec import PauliSpecEnv
+
+    n = 27
+    edges = [(i, i + 1) for i in range(n - 1)] + \
+            [(i + 1, i) for i in range(n - 1)]
+    gateset = [("H", (q,)) for q in range(n)] + \
+              [("S", (q,)) for q in range(n)] + \
+              [("Sdg", (q,)) for q in range(n)] + \
+              [("CX", e) for e in edges]
+    env = PauliSpecEnv(num_qubits=n, gateset=gateset, difficulty=64,
+                       depth_slope=2, max_depth=128, max_rotations=5,
+                       add_perms=False)
+    aidx = {g: i for i, g in enumerate(gateset)}
+
+    lab = ["I"] * n
+    lab[n - 1 - 3] = "X"   # qiskit little-endian labels: X on qubits 3, 4
+    lab[n - 1 - 4] = "X"
+    env.reset(rotations=["".join(lab)],
+              tableau=np.eye(2 * n, dtype=np.int64).reshape(-1))
+    assert not env.solved()
+
+    scr = [("H", (3,)), ("CX", (3, 4)), ("S", (10,)), ("CX", (7, 8))]
+    for g in scr:
+        env.step(aidx[g])
+    inv = [("CX", (7, 8)), ("Sdg", (10,)), ("CX", (3, 4)), ("H", (3,))]
+    for g in inv:
+        env.step(aidx[g])
+    assert env.network.active_rotation_indices() == [0]
+
+    for pair in [(3, 4), (4, 3)]:   # either CX direction works for XX
+        e2 = copy.deepcopy(env)
+        e2.step(aidx[("CX", pair)])
+        assert e2.network.active_rotation_indices() == []
+        e2.step(aidx[("CX", pair)])
+        assert e2.solved() and e2.success
