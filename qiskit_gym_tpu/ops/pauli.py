@@ -680,26 +680,34 @@ class PauliEnvCore:
         rphase = (num_y % 4).astype(jnp.int8)
         return rx, rz, rphase, valid
 
-    def _scramble_tableau(self, key, B, difficulty):
-        """70% CX / 15% H / 15% S row-op scramble (reference pauli.rs:220-271)."""
+    def _scramble_tableau(self, key, B, difficulty, idx_override=None):
+        """70% CX / 15% H / 15% S row-op scramble (reference pauli.rs:220-271).
+
+        `idx_override` (int32 [B, K], test hook): scramble-op indices into
+        the op table — [0, n_scramble_cx) = CX(valid_pairs[i]),
+        then n H ops, then n S ops; the last index is a no-op."""
         n = self.num_qubits
         ncx = self.n_scramble_cx
         noop = self.n_scramble - 1
-        static_diff = isinstance(difficulty, (int, np.integer))
-        K = int(difficulty) if static_diff else self.scramble_cap
-        K = max(K, 1)
-        k1, k2 = jax.random.split(key)
-        r = jax.random.uniform(k1, (B, K))
-        rq = jax.random.randint(k2, (B, K, 3), 0, 1 << 30)
-        cx_idx = rq[:, :, 0] % max(len(self.valid_pairs), 1)
-        h_idx = ncx + rq[:, :, 1] % n
-        s_idx = ncx + n + rq[:, :, 2] % n
-        idx = jnp.where(r > 0.3, cx_idx, jnp.where(r > 0.15, h_idx, s_idx))
-        if len(self.valid_pairs) == 0:
-            idx = jnp.full_like(idx, noop)
-        if not static_diff:
-            mask = jnp.arange(K)[None, :] < jnp.asarray(difficulty)
-            idx = jnp.where(mask, idx, noop)
+        if idx_override is not None:
+            idx = jnp.asarray(idx_override, jnp.int32)
+            K = idx.shape[1]
+        else:
+            static_diff = isinstance(difficulty, (int, np.integer))
+            K = int(difficulty) if static_diff else self.scramble_cap
+            K = max(K, 1)
+            k1, k2 = jax.random.split(key)
+            r = jax.random.uniform(k1, (B, K))
+            rq = jax.random.randint(k2, (B, K, 3), 0, 1 << 30)
+            cx_idx = rq[:, :, 0] % max(len(self.valid_pairs), 1)
+            h_idx = ncx + rq[:, :, 1] % n
+            s_idx = ncx + n + rq[:, :, 2] % n
+            idx = jnp.where(r > 0.3, cx_idx, jnp.where(r > 0.15, h_idx, s_idx))
+            if len(self.valid_pairs) == 0:
+                idx = jnp.full_like(idx, noop)
+            if not static_diff:
+                mask = jnp.arange(K)[None, :] < jnp.asarray(difficulty)
+                idx = jnp.where(mask, idx, noop)
 
         tab0 = jnp.tile(self.ident_pk[None], (B, 1))
 
@@ -727,7 +735,8 @@ class PauliEnvCore:
                 k_rot, B, pauli_difficulty
             )
         anti = self._build_anti(rx, rz, valid)
-        tab = self._scramble_tableau(k_tab, B, difficulty)
+        tab = self._scramble_tableau(k_tab, B, difficulty,
+                                     idx_override=scramble_override)
 
         # initial trivial sweep (reference pauli.rs:575-576)
         active, _ = self._cleanup(rx, rz, valid, anti)

@@ -317,3 +317,50 @@ def test_pauli_27q_rotation_episode_constructively_solvable():
         assert e2.network.active_rotation_indices() == []
         e2.step(aidx[("CX", pair)])
         assert e2.solved() and e2.success
+
+
+def test_pauli_reset_path_episode_constructively_solvable():
+    """A reset-generated episode (injected scramble + rotation through the
+    reset test hooks) is solved by the evolution-aware recipe: undo the
+    scramble (row-op CX(a,b) inverts via the CX(b,a) ACTION; those actions
+    also evolve the rotation), re-align the rotation axis, sweep with a CX,
+    restore. Exercises the batched core's reset path end to end — the
+    training distribution, not set_state."""
+    n = 7
+    edges = [(i, i + 1) for i in range(n - 1)] + \
+            [(i + 1, i) for i in range(n - 1)]
+    gym = PauliGym.from_coupling_map(edges,
+                                     basis_gates=("H", "S", "Sdg", "CX"),
+                                     max_rotations=4, add_perms=False)
+    core = gym.core
+    aidx = {g: i for i, g in enumerate(gym.gateset)}
+    vp = list(core.valid_pairs)
+    ncx = core.n_scramble_cx
+
+    # scramble row-ops: CX(5,6), H(3), S(1), CX(1,2)
+    scr = [vp.index((5, 6)), ncx + 3, ncx + n + 1, vp.index((1, 2))]
+    RT = core.RT
+    rx = np.zeros((1, RT, n), np.int8)
+    rz = np.zeros((1, RT, n), np.int8)
+    ph = np.zeros((1, RT), np.int8)
+    valid = np.zeros((1, RT), bool)
+    rx[0, 0, 3] = rx[0, 0, 4] = 1          # XX rotation on qubits 3, 4
+    valid[0, 0] = True
+
+    state = core.reset(jax.random.key(0), 1, 4,
+                       scramble_override=jnp.asarray([scr], jnp.int32),
+                       rotations_override=(rx, rz, ph, valid))
+    assert not bool(np.asarray(state.success)[0])
+    assert int(np.asarray(state.active).sum()) == 1
+
+    step = jax.jit(core.step)
+    key = jax.random.key(1)
+    seq = [("CX", (2, 1)), ("Sdg", (1,)), ("H", (3,)), ("CX", (6, 5)),
+           ("H", (3,)),                     # rotation Z3X4 -> X3X4
+           ("CX", (3, 4)),                  # weight 1 -> swept
+           ("CX", (3, 4)), ("H", (3,))]    # restore the tableau
+    for g in seq:
+        key, sub = jax.random.split(key)
+        state = step(state, jnp.asarray([aidx[g]]), sub)
+    assert bool(np.asarray(state.success)[0])
+    assert int(np.asarray(state.active).sum()) == 0
