@@ -70,6 +70,10 @@ def main():
         "clifford_heavy_hex_27q", [8, 16, 24], num_episodes=128)
     report["pauli_5_line (PPO, 10 searches)"] = eval_artifact(
         "pauli_5_line", [16, 32, 64, 128], num_episodes=128)
+    report["pauli_12_line (PPO, 10 searches)"] = eval_artifact(
+        "pauli_12_line", [4, 8, 16, 24], num_episodes=128)
+    report["pauli_heavy_hex_27q (PPO, 10 searches)"] = eval_artifact(
+        "pauli_heavy_hex_27q", [4, 8, 14], num_episodes=128)
     report["az_perm_grid_3x3 (MCTS-64, 2 searches)"] = eval_artifact(
         "az_perm_grid_3x3", [4, 8, 16], num_episodes=64, num_searches=2,
         mcts=64)

@@ -38,19 +38,20 @@ def main():
     # all-or-nothing); the 0.01 default gave no measurable bridge at 27q
     # (succ pinned at 0 through difficulty 4), 0.25 makes cleaning
     # rotations itself worth pursuing during exploration.
-    # Three measured failure modes shape this recipe (docs/TRAINING.md):
-    # - pauli_diff_scale=1: rotations present from difficulty 1, so the
-    #   joint skill (clean rotations AND restore the tableau) is learned on
-    #   tiny instances. Any Clifford-only warmup (scale 4 or 16) creates a
-    #   regime cliff the policy cannot cross: success enters at ~1%, then
-    #   optimization abandons it (1.2% -> 0 in 50 iterations at scale 4).
-    # - depth_slope=4: budget 4d, since d scrambles + ~3 cleanup ops need
-    #   ~d+3 OPTIMAL actions; the default 2d budget starves exploration.
-    # - pauli_layer_reward=0.05: enough intermediate signal to reward
-    #   cleaning, small enough that sweep-bonus farming cannot out-gradient
-    #   the solve reward (0.25 did).
-    env = PauliGym.from_coupling_map(edges, max_rotations=5,
-                                     pauli_diff_scale=1, depth_slope=4,
+    # The recipe that carried the 12q artifact through the rotation regime
+    # (difficulty 12+ in 9 minutes; docs/TRAINING.md):
+    # - depth_slope=4: budget 4d — d scrambles + ~3 cleanup ops need ~d+3
+    #   OPTIMAL actions; the default 2d budget starves exploration.
+    # - pauli_layer_reward=0.05: intermediate signal for cleaning without
+    #   sweep-bonus farming out-gradienting the solve reward (0.25 did:
+    #   success entered at 1.2%, then decayed to zero).
+    # - restricted (H, S, Sdg, CX) basis: 185 actions instead of 303.
+    # - pauli_diff_scale=4: rotation onset at difficulty 4 (4 scrambles),
+    #   growing every 4 levels.
+    env = PauliGym.from_coupling_map(edges,
+                                     basis_gates=("H", "S", "Sdg", "CX"),
+                                     max_rotations=5,
+                                     pauli_diff_scale=4, depth_slope=4,
                                      pauli_layer_reward=0.05)
     cfg = PPOConfig(
         num_episodes=2048, num_epochs=4, num_minibatches=16,

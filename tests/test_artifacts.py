@@ -139,6 +139,24 @@ def test_pauli_heavy_hex_27q_artifact():
     assert np.array_equal(Clifford(out).tableau, Clifford(target).tableau)
 
 
+def test_pauli_12_line_artifact():
+    """12q line Pauli policy (PPO through the rotation regime: scale 4,
+    slope 4, 0.05 sweep bonus — docs/TRAINING.md) synthesizes a
+    Clifford+rotation target; unitary exact up to global phase via the
+    statevector oracle (2^12 dims is fine on CPU)."""
+    from qiskit_gym_tpu.quantum import allclose_up_to_global_phase
+
+    rls = _load("pauli_12_line")
+    target = Circuit(12)
+    target.h(0).cx(0, 1).rz(0.7, 1).cx(1, 2).rx(0.4, 2).s(3)
+    out = rls.synth(target, deterministic=True, num_searches=1)
+    if out is None:
+        out = rls.synth(target, num_searches=32)
+    assert out is not None
+    assert allclose_up_to_global_phase(circuit_unitary(out),
+                                       circuit_unitary(target))
+
+
 def test_az_pauli_heavy_hex_artifact():
     """27q heavy-hex AZ Pauli policy (MCTS self-play fine-tune of the PPO
     artifact, proven through difficulty 15 under mcts_100 evals) solves a
