@@ -55,6 +55,50 @@ def eval_artifact(name, difficulties, num_episodes=256, num_searches=10,
     return rows
 
 
+def _random_target(rls, depth, rng, rotations=0):
+    """A random circuit composed from the artifact env's own gateset
+    (guaranteed in-group), plus optional rotations for Pauli envs."""
+    from qiskit_gym_tpu.quantum import Circuit
+
+    gs = rls.env.gateset
+    n = rls.env.config["num_qubits"]
+    qc = Circuit(n)
+    for _ in range(depth):
+        name, qs = gs[rng.integers(len(gs))]
+        qc.append(name.lower(), tuple(int(q) for q in qs))
+    for _ in range(rotations):
+        axis = ["rx", "ry", "rz"][rng.integers(3)]
+        qc.append(axis, (int(rng.integers(n)),), (float(rng.uniform(-2, 2)),))
+    return qc
+
+
+def synth_quality(name, depths, num_targets=24, num_searches=32,
+                  rotations=0, check=None):
+    """User-facing quality: encode random circuit targets, run synth(),
+    verify the round-trip, report success + 2q counts of verified outputs."""
+    rls = RLSynthesis.from_config_json(f"examples/models/{name}.json",
+                                       f"examples/models/{name}.pt")
+    rows = []
+    for depth in depths:
+        rng = np.random.default_rng(99 + depth)
+        ok, cx = 0, []
+        for _ in range(num_targets):
+            target = _random_target(rls, depth, rng, rotations)
+            out = rls.synth(target, num_searches=num_searches)
+            if out is None:
+                continue
+            if check is not None and not check(out, target):
+                continue
+            ok += 1
+            cx.append(sum(1 for g in out if len(g[1]) == 2))
+        rows.append({
+            "difficulty": depth,
+            "solve_rate": ok / num_targets,
+            "mean_2q": float(np.mean(cx)) if cx else float("nan"),
+        })
+    return rows
+
+
 def main():
     t0 = time.time()
     report = {}
@@ -84,12 +128,56 @@ def main():
         "az_clifford_heavy_hex_27q", [8, 16, 32], num_episodes=64,
         num_searches=1, mcts=48)
 
+    # ---- user-facing synth() round-trips on random in-gateset circuits
+    from qiskit_gym_tpu.quantum import (Clifford, allclose_up_to_global_phase,
+                                        circuit_unitary, linear_from_circuit,
+                                        permutation_pattern)
+
+    def perm_ck(out, t):
+        return permutation_pattern(linear_from_circuit(out)).tolist() == \
+            permutation_pattern(linear_from_circuit(t)).tolist()
+
+    def lf_ck(out, t):
+        return np.array_equal(linear_from_circuit(out),
+                              linear_from_circuit(t))
+
+    def cliff_ck(out, t):
+        return np.array_equal(Clifford(out).tableau, Clifford(t).tableau)
+
+    def unitary_ck(out, t):
+        return allclose_up_to_global_phase(circuit_unitary(out),
+                                           circuit_unitary(t))
+
+    synth_report = {}
+    synth_report["perm_grid_3x3"] = synth_quality(
+        "perm_grid_3x3", [4, 8], check=perm_ck)
+    synth_report["lf_5_line"] = synth_quality(
+        "lf_5_line", [4, 8], check=lf_ck)
+    synth_report["clifford_3q_line"] = synth_quality(
+        "clifford_3q_line", [4, 8], check=cliff_ck)
+    synth_report["pauli_5_line (2 rotations)"] = synth_quality(
+        "pauli_5_line", [3, 6], rotations=2, check=unitary_ck)
+    synth_report["pauli_12_line (2 rotations)"] = synth_quality(
+        "pauli_12_line", [3, 6], rotations=2, check=unitary_ck)
+    synth_report["pauli_heavy_hex_27q (Clifford regime)"] = synth_quality(
+        "pauli_heavy_hex_27q", [4, 8], check=cliff_ck)
+
     lines = ["# Solve quality (shipped artifacts, one v5e chip)", "",
              "Scrambles drawn by the env at each difficulty; solve rate over",
              "fresh targets; 2q count = best solution per solved target.", ""]
     lines += ["| artifact | difficulty | solve rate | mean 2q gates |",
               "|---|---|---|---|"]
     for name, rows in report.items():
+        for r in rows:
+            lines.append(f"| {name} | {r['difficulty']} | "
+                         f"{r['solve_rate']:.2f} | {r['mean_2q']:.1f} |")
+    lines += ["", "## synth() round-trips (random in-gateset circuit targets,",
+              "verified outputs only: permutation / GF(2) / tableau /",
+              "statevector equality as appropriate; 32 searches)", "",
+              "| artifact | target depth | verified solve rate "
+              "| mean 2q gates |",
+              "|---|---|---|---|"]
+    for name, rows in synth_report.items():
         for r in rows:
             lines.append(f"| {name} | {r['difficulty']} | "
                          f"{r['solve_rate']:.2f} | {r['mean_2q']:.1f} |")
