@@ -53,10 +53,13 @@ def main():
                                      max_rotations=5,
                                      pauli_diff_scale=4, depth_slope=4,
                                      pauli_layer_reward=0.05)
+    # ent_coef 0.0005: at 27q the rotation-onset success seed is tiny
+    # (~0.3% of episodes) and 0.002 entropy pressure extinguishes it before
+    # PPO can amplify (12q seeds at >5% and survives 0.002).
     cfg = PPOConfig(
         num_episodes=2048, num_epochs=4, num_minibatches=16,
         episode_packing=True, pack_pool_slots=8,
-        lr=3e-4, ent_coef=0.002,
+        lr=3e-4, ent_coef=0.0005,
     )
     rls = RLSynthesis(env, cfg, BasicPolicyConfig())
     rls.algorithm.fixed_horizon = True
