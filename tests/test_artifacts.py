@@ -173,6 +173,29 @@ def test_az_pauli_heavy_hex_artifact():
     assert np.array_equal(Clifford(out).tableau, Clifford(target).tableau)
 
 
+def test_az_pauli_18_line_artifact():
+    """18q line AZ Pauli policy (MCTS-assisted rotation onset: PPO seeds at
+    ~0.1% and stalls; 96-sim self-play amplified 8% -> 85%+ and crossed to
+    difficulty 7 — docs/TRAINING.md). Verified by statevector evolution of
+    a random input state (2^18 full unitary is infeasible)."""
+    from qiskit_gym_tpu.quantum import Statevector
+
+    rls = _load("az_pauli_18_line")
+    target = Circuit(18)
+    target.h(0).cx(0, 1).rz(0.7, 1).s(5).cx(5, 6)
+    out = rls.synth(target, deterministic=True, num_searches=1)
+    if out is None:
+        out = rls.synth(target, num_searches=8, num_mcts_searches=16)
+    assert out is not None
+    rng = np.random.default_rng(7)
+    psi = rng.normal(size=2 ** 18) + 1j * rng.normal(size=2 ** 18)
+    psi /= np.linalg.norm(psi)
+    a = Statevector(18, psi).apply_circuit(out).data
+    b = Statevector(18, psi).apply_circuit(target).data
+    phase = b[np.argmax(np.abs(b))] / a[np.argmax(np.abs(b))]
+    assert np.allclose(a * phase, b, atol=1e-8)
+
+
 def test_az_clifford_heavy_hex_artifact():
     """27q heavy-hex AZ Clifford policy (warm-started from the PPO artifact,
     48-sim self-play to curriculum difficulty 39) solves greedily."""
