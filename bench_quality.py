@@ -118,6 +118,8 @@ def main():
         "pauli_12_line", [4, 8, 16, 24], num_episodes=128)
     report["pauli_heavy_hex_27q (PPO, 10 searches)"] = eval_artifact(
         "pauli_heavy_hex_27q", [4, 8, 14], num_episodes=128)
+    report["az_pauli_18_line (MCTS-64, 1 search)"] = eval_artifact(
+        "az_pauli_18_line", [4, 6], num_episodes=64, num_searches=1, mcts=64)
     report["az_perm_grid_3x3 (MCTS-64, 2 searches)"] = eval_artifact(
         "az_perm_grid_3x3", [4, 8, 16], num_episodes=64, num_searches=2,
         mcts=64)
@@ -148,6 +150,20 @@ def main():
         return allclose_up_to_global_phase(circuit_unitary(out),
                                            circuit_unitary(t))
 
+    def sv_ck(out, t):
+        # random-state evolution equality up to global phase (scales to
+        # qubit counts where the full unitary is infeasible)
+        from qiskit_gym_tpu.quantum import Statevector
+
+        nq = t.num_qubits
+        r = np.random.default_rng(1)
+        psi = r.normal(size=2 ** nq) + 1j * r.normal(size=2 ** nq)
+        psi /= np.linalg.norm(psi)
+        a = Statevector(nq, psi).apply_circuit(out).data
+        b = Statevector(nq, psi).apply_circuit(t).data
+        k = int(np.argmax(np.abs(b)))
+        return np.allclose(a * (b[k] / a[k]), b, atol=1e-7)
+
     synth_report = {}
     synth_report["perm_grid_3x3"] = synth_quality(
         "perm_grid_3x3", [4, 8], check=perm_ck)
@@ -161,6 +177,8 @@ def main():
         "pauli_12_line", [3, 6], rotations=2, check=unitary_ck)
     synth_report["pauli_heavy_hex_27q (Clifford regime)"] = synth_quality(
         "pauli_heavy_hex_27q", [4, 8], check=cliff_ck)
+    synth_report["az_pauli_18_line (2 rotations)"] = synth_quality(
+        "az_pauli_18_line", [3], rotations=2, num_targets=12, check=sv_ck)
 
     lines = ["# Solve quality (shipped artifacts, one v5e chip)", "",
              "Scrambles drawn by the env at each difficulty; solve rate over",
