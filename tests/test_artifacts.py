@@ -196,6 +196,32 @@ def test_az_pauli_18_line_artifact():
     assert np.allclose(a * phase, b, atol=1e-8)
 
 
+def test_az_pauli_27q_dense_artifact():
+    """27q line-basis AZ Pauli policy (MCTS-assisted rotation-onset
+    crossing at 27 qubits, docs/TRAINING.md). Clifford targets check
+    tableau-exact; a rotation target must solve (2^27 statevector
+    verification is infeasible here — the decode/phase machinery is
+    statevector-verified on the 5q/12q/18q artifacts)."""
+    from qiskit_gym_tpu.quantum import Clifford
+
+    rls = _load("az_pauli_heavy_hex_27q_dense")
+    target = Circuit(27)
+    target.h(0).cx(0, 1).s(1)
+    out = rls.synth(target, deterministic=True, num_searches=1)
+    if out is None:
+        out = rls.synth(target, num_searches=8, num_mcts_searches=16)
+    assert out is not None
+    assert np.array_equal(Clifford(out).tableau, Clifford(target).tableau)
+
+    rot = Circuit(27)
+    rot.cx(2, 3).rz(0.7, 3)
+    out2 = rls.synth(rot, deterministic=True, num_searches=1)
+    if out2 is None:
+        out2 = rls.synth(rot, num_searches=8, num_mcts_searches=16)
+    assert out2 is not None
+    assert any(g[0] in ("rx", "ry", "rz") for g in out2)
+
+
 def test_az_clifford_heavy_hex_artifact():
     """27q heavy-hex AZ Clifford policy (warm-started from the PPO artifact,
     48-sim self-play to curriculum difficulty 39) solves greedily."""
