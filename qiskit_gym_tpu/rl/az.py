@@ -28,7 +28,10 @@ from .solve import policy_solve
 class AZTrajectory(NamedTuple):
     obs: jnp.ndarray          # [T, B, ...] uint8
     visit_probs: jnp.ndarray  # [T, B, A]
-    action: jnp.ndarray       # [T, B] the action actually played
+    action: jnp.ndarray       # [T, B] policy-frame action that was played
+    actual: jnp.ndarray       # [T, B] env-frame action (after symmetry
+    #                           un-permutation; == action for most envs —
+    #                           cf. rl/rollout.Trajectory.actual)
     inverted: jnp.ndarray     # [T, B] env inversion flag when acting
     reward: jnp.ndarray       # [T, B]
     valid: jnp.ndarray        # [T, B]
@@ -73,6 +76,11 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
                                    jnp.argmax(visits, axis=-1), action)
 
         live = ~core.is_final(env_state)
+        # env-frame action: the Pauli env samples a random automorphism at
+        # observe-time and un-permutes incoming actions through it (reference
+        # pauli.rs:592-599); the executed gate is translate_action(action)
+        actual = (core.translate_action(env_state, action)
+                  if hasattr(core, "translate_action") else action)
         stepped = core.step(env_state, action, k_step)
         new_state = jax.tree.map(
             lambda new, old: jnp.where(
@@ -85,6 +93,7 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
             obs=obs,
             visit_probs=probs,
             action=action,
+            actual=actual,
             inverted=env_state.inverted,
             reward=reward,
             valid=live,
@@ -208,6 +217,12 @@ class AZ:
             state = self.core.reset(k_reset, E, difficulty)
             if S > 1:
                 state = jax.tree.map(lambda x: jnp.repeat(x, S, axis=0), state)
+            if self.mesh is not None:
+                from qiskit_gym_tpu.parallel import (shard_env_state,
+                                                     shard_params)
+
+                state = shard_env_state(self.mesh, state)
+                params = shard_params(self.mesh, params)
             if num_sims > 0:
                 final_state, _ = collect_mcts(
                     self.core, self.policy.apply, params, state, k_roll, T,
@@ -307,26 +322,41 @@ class AZ:
             return policy_solve(
                 self.env, self.policy, self.params, state,
                 deterministic=deterministic, num_searches=num_searches,
+                mesh=self.mesh,
             )
         return mcts_solve(
             self.env, self.policy, self.params, state,
             num_searches=num_searches, num_mcts_searches=num_mcts_searches,
             C=C, deterministic=deterministic,
-            max_expand_depth=max_expand_depth,
+            max_expand_depth=max_expand_depth, mesh=self.mesh,
         )
 
 
 def mcts_solve(env, policy, params, state_encoded, num_searches: int,
                num_mcts_searches: int, C: float, deterministic: bool = False,
-               key=None, max_expand_depth: int = 1):
+               key=None, max_expand_depth: int = 1, mesh=None):
     """MCTS-guided batched solve (reference rl/synthesis.py:112-126 with
-    num_mcts_searches > 0)."""
+    num_mcts_searches > 0).
+
+    Shares the env hooks with rl/solve.policy_solve: the target state is
+    tiled through env.make_solve_state (which knows each family's dense
+    layout — the Pauli env needs tableau + rotation labels, not just a
+    matrix) and the winning lane's ENV-FRAME actions (traj.actual — what
+    the env actually executed after symmetry un-permutation) go through
+    env.solution_from_trace for reconstruction (inversion bookkeeping for
+    the matrix envs; packed rotation events via spec replay for Pauli).
+    """
+    from .solve import best_lane
+
     core = env.core
-    single = env.encoded_to_dense(state_encoded)
-    batch = np.repeat(single[None], num_searches, axis=0)
-    state = core.set_state(batch)
+    state = env.make_solve_state(state_encoded, num_searches)
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
+    if mesh is not None:
+        from qiskit_gym_tpu.parallel import shard_env_state, shard_params
+
+        state = shard_env_state(mesh, state)
+        params = shard_params(mesh, params)
 
     T = core.max_depth
     final_state, traj = jax.jit(
@@ -337,21 +367,11 @@ def mcts_solve(env, policy, params, state_encoded, num_searches: int,
         )
     )(state, key)
 
-    success = np.asarray(final_state.success)
-    if not success.any():
+    best = best_lane(final_state, traj)
+    if best is None:
         return None
-    n_cnots = np.asarray(final_state.n_cnots)
-    n_gates = np.asarray(final_state.n_gates)
-    valid = np.asarray(traj.valid)
-    actions = np.asarray(traj.action)
-    inverted = np.asarray(traj.inverted)
-    lengths = valid.sum(axis=0)
-
-    candidates = np.flatnonzero(success)
-    best = int(sorted(candidates,
-                      key=lambda s: (n_cnots[s], n_gates[s], lengths[s]))[0])
-    normal = [int(a) for a, v, inv in zip(actions[:, best], valid[:, best],
-                                          inverted[:, best]) if v and not inv]
-    flipped = [int(a) for a, v, inv in zip(actions[:, best], valid[:, best],
-                                           inverted[:, best]) if v and inv]
-    return normal + flipped[::-1]
+    valid = np.asarray(traj.valid)[:, best]
+    actions = np.asarray(traj.actual)[:, best][valid]
+    inverted = np.asarray(traj.inverted)[:, best][valid]
+    return env.solution_from_trace(state_encoded, actions.tolist(),
+                                   inverted.tolist())

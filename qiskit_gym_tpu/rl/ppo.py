@@ -235,6 +235,12 @@ class PPO:
             state = self.core.reset(k_reset, E, difficulty)
             if S > 1:
                 state = jax.tree.map(lambda x: jnp.repeat(x, S, axis=0), state)
+            if self.mesh is not None:
+                from qiskit_gym_tpu.parallel import (shard_env_state,
+                                                     shard_params)
+
+                state = shard_env_state(self.mesh, state)
+                params = shard_params(self.mesh, params)
             if num_sims > 0:
                 from .az import collect_mcts
 
@@ -355,8 +361,10 @@ class PPO:
                 num_searches=num_searches,
                 num_mcts_searches=num_mcts_searches, C=C,
                 deterministic=deterministic,
+                max_expand_depth=max_expand_depth, mesh=self.mesh,
             )
         return policy_solve(
             self.env, self.policy, self.params, state,
             deterministic=deterministic, num_searches=num_searches,
+            mesh=self.mesh,
         )

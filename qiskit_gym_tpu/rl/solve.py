@@ -40,11 +40,17 @@ def policy_solve(
     deterministic: bool = False,
     num_searches: int = 100,
     key: Optional[jax.Array] = None,
+    mesh=None,
 ) -> Optional[List[int]]:
     core = env.core
     state = env.make_solve_state(state_encoded, num_searches)
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
+    if mesh is not None:
+        from qiskit_gym_tpu.parallel import shard_env_state, shard_params
+
+        state = shard_env_state(mesh, state)
+        params = shard_params(mesh, params)
 
     T = core.max_depth
     final_state, traj = jax.jit(

@@ -236,3 +236,52 @@ def test_az_clifford_heavy_hex_artifact():
     assert out is not None
     assert np.array_equal(Clifford(out).tableau[:, :-1],
                           Clifford(target).tableau[:, :-1])
+
+
+def test_reference_clifford_custom_gateset_checkpoint_solves():
+    """The reference's clifford_3q_custom artifact — a CUSTOM gateset
+    (explicit CX/SWAP/H/S list, the strongest schema + gateset-order
+    compatibility check) — imports and solves; phase-repaired output is
+    unitary-exact (reference examples/models/clifford_3q_custom.{json,pt})."""
+    from qiskit_gym_tpu.quantum import Clifford
+
+    cfg = "/root/reference/examples/models/clifford_3q_custom.json"
+    pt = "/root/reference/examples/models/clifford_3q_custom.pt"
+    if not os.path.exists(cfg):
+        pytest.skip("reference artifacts unavailable")
+    rls = RLSynthesis.from_config_json(cfg, pt)
+    # the custom gateset must import in reference order (action indices
+    # must line up with the trained policy head)
+    assert rls.env.gateset[:2] == [("CX", (0, 1)), ("CX", (1, 0))]
+    assert ("H", (0,)) in rls.env.gateset and ("S", (0,)) in rls.env.gateset
+    target = Circuit(3).cx(0, 1).cx(1, 2)
+    out = rls.synth(target, deterministic=True, num_searches=1)
+    if out is None:
+        out = rls.synth(target, num_searches=64)
+    assert out is not None
+    assert np.array_equal(Clifford(out).tableau[:, :-1],
+                          Clifford(target).tableau[:, :-1])
+    assert allclose_up_to_global_phase(circuit_unitary(out),
+                                       circuit_unitary(target))
+
+
+def test_reference_lf_checkpoint_solves():
+    """The reference's lf_5_line artifact imports and round-trips GF(2)
+    linear functions (reference examples/models/lf_5_line.{json,pt})."""
+    cfg = "/root/reference/examples/models/lf_5_line.json"
+    pt = "/root/reference/examples/models/lf_5_line.pt"
+    if not os.path.exists(cfg):
+        pytest.skip("reference artifacts unavailable")
+    rls = RLSynthesis.from_config_json(cfg, pt)
+    rng = np.random.default_rng(3)
+    gs = rls.env.gateset
+    target = Circuit(5)
+    for _ in range(4):
+        name, qs = gs[rng.integers(len(gs))]
+        getattr(target, name.lower())(*qs)
+    out = rls.synth(target, deterministic=True, num_searches=1)
+    if out is None:
+        out = rls.synth(target, num_searches=64)
+    assert out is not None
+    assert np.array_equal(linear_from_circuit(out),
+                          linear_from_circuit(target))
