@@ -73,9 +73,11 @@ def _random_target(rls, depth, rng, rotations=0):
 
 
 def synth_quality(name, depths, num_targets=24, num_searches=32,
-                  rotations=0, check=None):
+                  rotations=0, check=None, mcts=0):
     """User-facing quality: encode random circuit targets, run synth(),
-    verify the round-trip, report success + 2q counts of verified outputs."""
+    verify the round-trip, report success + 2q counts of verified outputs.
+    mcts > 0 exercises the MCTS solve path (num_mcts_searches sims per
+    decision — reference AZ synth semantics, rl/synthesis.py:112-126)."""
     rls = RLSynthesis.from_config_json(f"examples/models/{name}.json",
                                        f"examples/models/{name}.pt")
     rows = []
@@ -84,7 +86,8 @@ def synth_quality(name, depths, num_targets=24, num_searches=32,
         ok, cx = 0, []
         for _ in range(num_targets):
             target = _random_target(rls, depth, rng, rotations)
-            out = rls.synth(target, num_searches=num_searches)
+            out = rls.synth(target, num_searches=num_searches,
+                            num_mcts_searches=mcts)
             if out is None:
                 continue
             if check is not None and not check(out, target):
@@ -179,6 +182,17 @@ def main():
         "pauli_heavy_hex_27q", [4, 8], check=cliff_ck)
     synth_report["az_pauli_18_line (2 rotations)"] = synth_quality(
         "az_pauli_18_line", [3], rotations=2, num_targets=12, check=sv_ck)
+    # ---- MCTS-path synth round-trips (the way the AZ artifacts were
+    # trained to be used: num_mcts_searches > 0 per decision)
+    synth_report["az_pauli_18_line (2 rot, MCTS-32, 4 searches)"] = \
+        synth_quality("az_pauli_18_line", [3], rotations=2, num_targets=12,
+                      num_searches=4, mcts=32, check=sv_ck)
+    synth_report["az_pauli_heavy_hex_27q (MCTS-32, 4 searches)"] = \
+        synth_quality("az_pauli_heavy_hex_27q", [4, 8], num_targets=12,
+                      num_searches=4, mcts=32, check=cliff_ck)
+    synth_report["az_perm_grid_3x3 (MCTS-32, 4 searches)"] = \
+        synth_quality("az_perm_grid_3x3", [4, 8], num_targets=12,
+                      num_searches=4, mcts=32, check=perm_ck)
 
     lines = ["# Solve quality (shipped artifacts, one v5e chip)", "",
              "Scrambles drawn by the env at each difficulty; solve rate over",

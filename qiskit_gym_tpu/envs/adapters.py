@@ -124,6 +124,11 @@ class VectorGymnasiumEnv:
         if spaces is not None:
             self.single_observation_space = spaces.MultiBinary(self._obs_shape)
             self.single_action_space = spaces.Discrete(self.core.num_actions)
+            # batched views for gymnasium.vector drop-in compatibility
+            self.observation_space = spaces.MultiBinary(
+                (self.num_envs,) + self._obs_shape)
+            self.action_space = spaces.MultiDiscrete(
+                [self.core.num_actions] * self.num_envs)
         self._build()
 
     # difficulty is a static argument of the jitted programs (reset scramble
@@ -200,6 +205,7 @@ class VectorGymnasiumEnv:
 
     def masks(self) -> np.ndarray:
         """bool [num_envs, A] action masks for the current state."""
+        assert self._state is not None, "call reset() before masks()"
         return np.asarray(self.core.masks(self._state))
 
     def close(self):

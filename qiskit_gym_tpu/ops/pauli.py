@@ -481,12 +481,26 @@ class PauliEnvCore:
                 ph.astype(jnp.int8).T, active.T, removed)
 
     # metrics: shares the closed-form running-max kernel with MatrixEnvCore
-    # (same state fields and per-action tables, incl. the fused Pallas path);
+    # (same state fields and per-action tables);
     # _metrics_update_xla works through this class's own fat-table decode
-    use_pallas_metrics = MatrixEnvCore.use_pallas_metrics
     _metrics_update = MatrixEnvCore._metrics_update
     _metrics_update_xla = MatrixEnvCore._metrics_update_xla
     _metrics_update_terms = MatrixEnvCore._metrics_update_terms
+
+    # The fused Pallas metrics kernel (ops/pallas_metrics.py) decodes
+    # through MatrixEnvCore's step path, which this class replaces with its
+    # own fat-table decode — the flag has no effect here, so enabling it is
+    # rejected instead of silently ignored.
+    @property
+    def use_pallas_metrics(self) -> bool:
+        return False
+
+    @use_pallas_metrics.setter
+    def use_pallas_metrics(self, value: bool) -> None:
+        if value:
+            raise ValueError(
+                "use_pallas_metrics is matrix-env only; PauliEnvCore's step "
+                "uses its own consolidated fat-table decode (always XLA)")
 
     def translate_action(self, state: PauliEnvState, action):
         """Policy-frame -> env-frame action through the active automorphism."""

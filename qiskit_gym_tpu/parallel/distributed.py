@@ -31,11 +31,19 @@ def initialize(
     With no arguments, relies on the TPU environment's auto-configuration
     (GKE/QR metadata), which covers all standard multi-host TPU deployments.
     Explicit arguments support bring-your-own-cluster setups. Safe to call
-    twice (the second call is ignored).
+    twice with the same arguments (the second call is ignored); a repeat
+    call with DIFFERENT explicit arguments raises, since the first
+    initialization cannot be undone.
     """
     import jax
 
-    if getattr(initialize, "_done", False):
+    args = (coordinator_address, num_processes, process_id)
+    prev = getattr(initialize, "_args", None)
+    if prev is not None:
+        if args != prev and any(a is not None for a in args):
+            raise RuntimeError(
+                f"jax.distributed already initialized with {prev}; cannot "
+                f"re-initialize with {args}")
         return
     if num_processes is None and coordinator_address is None:
         hosts = [h for h in
@@ -44,18 +52,18 @@ def initialize(
             "MEGASCALE_COORDINATOR_ADDRESS")
         if not multi:
             # single-host: nothing to coordinate
-            initialize._done = True
+            initialize._args = args
             return
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
-            raise
-    initialize._done = True
+    # idempotence via jax's own client state, not exception-text matching
+    if jax.distributed.is_initialized():
+        initialize._args = args
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    initialize._args = args
 
 
 def process_count() -> int:

@@ -35,7 +35,45 @@ class AZTrajectory(NamedTuple):
     inverted: jnp.ndarray     # [T, B] env inversion flag when acting
     reward: jnp.ndarray       # [T, B]
     valid: jnp.ndarray        # [T, B]
+    done: jnp.ndarray         # [T, B] bool: episode ended at/after this step
     success: jnp.ndarray      # [B]
+
+
+def _mcts_act(core, policy_apply, params, env_state, keys_t, t, T,
+              num_sims, c_puct, deterministic, temperature, temperature_drop,
+              noise_eps, dirichlet_alpha, max_expand_depth):
+    """Shared per-step prologue for both MCTS collectors: observe -> batched
+    MCTS -> visit-count action selection -> env step. Returns everything an
+    AZTrajectory row needs plus the raw stepped state."""
+    k_sim, k_act, k_step = keys_t[0], keys_t[1], keys_t[2]
+    obs = core.dense(env_state)
+    visits, root_value, _priors = mcts_search(
+        core, policy_apply, params, env_state, k_sim,
+        num_sims=num_sims, c_puct=c_puct,
+        # tree-depth cap: selection deeper than ~32 is vanishingly rare
+        # and each extra level is a sequential fori iteration per sim
+        max_depth=min(T, 32),
+        dirichlet_alpha=dirichlet_alpha, noise_eps=noise_eps,
+        max_expand_depth=max_expand_depth,
+    )
+    probs = visits / jnp.maximum(visits.sum(-1, keepdims=True), 1e-8)
+    if deterministic:
+        action = jnp.argmax(visits, axis=-1)
+    else:
+        logits = jnp.log(jnp.maximum(visits, 1e-8)) / temperature
+        action = jax.random.categorical(k_act, logits, axis=-1)
+        if temperature_drop > 0:
+            action = jnp.where(t >= temperature_drop,
+                               jnp.argmax(visits, axis=-1), action)
+
+    live = ~core.is_final(env_state)
+    # env-frame action: the Pauli env samples a random automorphism at
+    # observe-time and un-permutes incoming actions through it (reference
+    # pauli.rs:592-599); the executed gate is translate_action(action)
+    actual = (core.translate_action(env_state, action)
+              if hasattr(core, "translate_action") else action)
+    stepped = core.step(env_state, action, k_step)
+    return obs, probs, action, actual, live, env_state.inverted, stepped
 
 
 def collect_mcts(core, policy_apply, params, state, key, T: int,
@@ -54,34 +92,10 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
 
     def step_fn(env_state, xs):
         keys_t, t = xs
-        k_sim, k_act, k_step = keys_t[0], keys_t[1], keys_t[2]
-        obs = core.dense(env_state)
-        visits, root_value, _priors = mcts_search(
-            core, policy_apply, params, env_state, k_sim,
-            num_sims=num_sims, c_puct=c_puct,
-            # tree-depth cap: selection deeper than ~32 is vanishingly rare
-            # and each extra level is a sequential fori iteration per sim
-            max_depth=min(T, 32),
-            dirichlet_alpha=dirichlet_alpha, noise_eps=noise_eps,
-            max_expand_depth=max_expand_depth,
-        )
-        probs = visits / jnp.maximum(visits.sum(-1, keepdims=True), 1e-8)
-        if deterministic:
-            action = jnp.argmax(visits, axis=-1)
-        else:
-            logits = jnp.log(jnp.maximum(visits, 1e-8)) / temperature
-            action = jax.random.categorical(k_act, logits, axis=-1)
-            if temperature_drop > 0:
-                action = jnp.where(t >= temperature_drop,
-                                   jnp.argmax(visits, axis=-1), action)
-
-        live = ~core.is_final(env_state)
-        # env-frame action: the Pauli env samples a random automorphism at
-        # observe-time and un-permutes incoming actions through it (reference
-        # pauli.rs:592-599); the executed gate is translate_action(action)
-        actual = (core.translate_action(env_state, action)
-                  if hasattr(core, "translate_action") else action)
-        stepped = core.step(env_state, action, k_step)
+        obs, probs, action, actual, live, inverted, stepped = _mcts_act(
+            core, policy_apply, params, env_state, keys_t, t, T,
+            num_sims, c_puct, deterministic, temperature, temperature_drop,
+            noise_eps, dirichlet_alpha, max_expand_depth)
         new_state = jax.tree.map(
             lambda new, old: jnp.where(
                 live.reshape(live.shape + (1,) * (new.ndim - 1)), new, old
@@ -94,9 +108,10 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
             visit_probs=probs,
             action=action,
             actual=actual,
-            inverted=env_state.inverted,
+            inverted=inverted,
             reward=reward,
             valid=live,
+            done=core.is_final(new_state),
             success=jnp.zeros_like(live),
         )
         return new_state, tr
@@ -105,6 +120,85 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
                                      length=T)
     traj = traj._replace(success=final_state.success)
     return final_state, traj
+
+
+def collect_mcts_packed(core, policy_apply, params, key, T: int, B: int,
+                        difficulty, num_sims: int, c_puct: float,
+                        pool_slots: int = 8, deterministic: bool = False,
+                        temperature: float = 1.0, temperature_drop: int = 0,
+                        noise_eps: float = 0.0, dirichlet_alpha: float = 0.3,
+                        max_expand_depth: int = 1, mesh=None):
+    """Episode-packed MCTS self-play: lanes that finish are immediately
+    refilled from a pool of pregenerated reset batches, so every scan step
+    runs a useful MCTS decision (aligned collect_mcts freezes finished lanes
+    for the remaining horizon — the same ~2x waste rl/rollout.collect_packed
+    documents and fixes for PPO, but each wasted step here costs a full
+    num_sims-simulation search). Pool-slot/rotation randomization follows
+    collect_packed. Returns (final_state, AZTrajectory, stats) with
+    episode counters and last_value for value-target bootstrapping."""
+    k_pool, k_roll, k_slot, k_rot = jax.random.split(key, 4)
+    pool = core.reset(k_pool, B * pool_slots, difficulty)
+    pool = jax.tree.map(
+        lambda x: x.reshape((pool_slots, B) + x.shape[1:]), pool
+    )
+    if mesh is not None:
+        from qiskit_gym_tpu.parallel import shard_env_state
+
+        pool = shard_env_state(mesh, pool, batch_axis=1)
+    state0 = jax.tree.map(lambda x: x[0], pool)
+
+    step_keys = jax.random.split(k_roll, 3 * T).reshape(T, 3)
+    step_idx = jnp.arange(T, dtype=jnp.int32)
+    slots = jax.random.randint(k_slot, (T,), 0, pool_slots)
+    rots = jax.random.randint(k_rot, (T,), 0, B)
+
+    def step_fn(carry, xs):
+        env_state, n_done, n_succ = carry
+        keys_t, t, slot_t, rot_t = xs
+        obs, probs, action, actual, live, inverted, stepped = _mcts_act(
+            core, policy_apply, params, env_state, keys_t, t, T,
+            num_sims, c_puct, deterministic, temperature, temperature_drop,
+            noise_eps, dirichlet_alpha, max_expand_depth)
+        done = live & core.is_final(stepped)
+        n_done = n_done + done.astype(jnp.int32)
+        n_succ = n_succ + (done & stepped.success).astype(jnp.int32)
+
+        refresh = done | ~live
+        fresh = jax.tree.map(
+            lambda p: jnp.roll(
+                jax.lax.dynamic_index_in_dim(p, slot_t, 0, keepdims=False),
+                rot_t, axis=0,
+            ),
+            pool,
+        )
+        new_state = jax.tree.map(
+            lambda fr, st: jnp.where(
+                refresh.reshape(refresh.shape + (1,) * (st.ndim - 1)), fr, st
+            ),
+            fresh, stepped,
+        )
+        reward = jnp.where(live, stepped.reward, 0.0)
+        tr = AZTrajectory(
+            obs=obs, visit_probs=probs, action=action, actual=actual,
+            inverted=inverted, reward=reward, valid=live, done=done,
+            success=jnp.zeros_like(live),
+        )
+        return (new_state, n_done, n_succ), tr
+
+    zeros = jnp.zeros(B, jnp.int32)
+    (final_state, n_done, n_succ), traj = jax.lax.scan(
+        step_fn, (state0, zeros, zeros),
+        (step_keys, step_idx, slots, rots),
+        length=T,
+    )
+    traj = traj._replace(success=final_state.success)
+    _, last_value = policy_apply(params, core.dense(final_state))
+    stats = {
+        "episodes_completed": n_done,
+        "episodes_succeeded": n_succ,
+        "last_value": last_value,
+    }
+    return final_state, traj, stats
 
 
 class AZ:
@@ -156,52 +250,133 @@ class AZ:
         loss = pol_loss + v_loss
         return loss, {"loss": loss, "pg_loss": pol_loss, "v_loss": v_loss}
 
+    def _loss_flat(self, params, batch):
+        """CE + MSE over a flat minibatch dict (masked by `valid`); same math
+        as _loss, reshaped for the num_minibatches > 1 path."""
+        logits, value = self.policy.apply(params, batch["obs"])
+        valid = batch["valid"].astype(jnp.float32)
+        count = jnp.maximum(valid.sum(), 1.0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        pol_loss = -((batch["visit_probs"] * logp).sum(-1) * valid).sum() / count
+        v_loss = (((value - batch["ret"]) ** 2) * valid).sum() / count
+        loss = pol_loss + v_loss
+        return loss, {"loss": loss, "pg_loss": pol_loss, "v_loss": v_loss}
+
     def _make_train_step(self, T: int, B: int):
         cfg = self.config
 
         def train_step(params, opt_state, key, difficulty):
             k_reset, k_roll = jax.random.split(key)
-            state = self.core.reset(k_reset, B, difficulty)
             if self.mesh is not None:
-                from qiskit_gym_tpu.parallel import shard_env_state, shard_params
+                from qiskit_gym_tpu.parallel import shard_params
 
-                state = shard_env_state(self.mesh, state)
                 params = shard_params(self.mesh, params)
-            final_state, traj = collect_mcts(
-                self.core, self.policy.apply, params, state, k_roll, T,
-                num_sims=cfg.num_mcts_searches, c_puct=cfg.C,
-                temperature=cfg.temperature,
-                temperature_drop=cfg.temperature_drop,
-                noise_eps=cfg.root_noise_eps,
-                dirichlet_alpha=cfg.dirichlet_alpha,
-                max_expand_depth=cfg.max_expand_depth,
-            )
-            # undiscounted reward-to-go as the value target
+            if cfg.episode_packing:
+                final_state, traj, stats = collect_mcts_packed(
+                    self.core, self.policy.apply, params, k_roll, T, B,
+                    difficulty, num_sims=cfg.num_mcts_searches, c_puct=cfg.C,
+                    pool_slots=cfg.pack_pool_slots,
+                    temperature=cfg.temperature,
+                    temperature_drop=cfg.temperature_drop,
+                    noise_eps=cfg.root_noise_eps,
+                    dirichlet_alpha=cfg.dirichlet_alpha,
+                    max_expand_depth=cfg.max_expand_depth, mesh=self.mesh,
+                )
+            else:
+                state = self.core.reset(k_reset, B, difficulty)
+                if self.mesh is not None:
+                    from qiskit_gym_tpu.parallel import shard_env_state
+
+                    state = shard_env_state(self.mesh, state)
+                final_state, traj = collect_mcts(
+                    self.core, self.policy.apply, params, state, k_roll, T,
+                    num_sims=cfg.num_mcts_searches, c_puct=cfg.C,
+                    temperature=cfg.temperature,
+                    temperature_drop=cfg.temperature_drop,
+                    noise_eps=cfg.root_noise_eps,
+                    dirichlet_alpha=cfg.dirichlet_alpha,
+                    max_expand_depth=cfg.max_expand_depth,
+                )
+                stats = None
+
+            # undiscounted reward-to-go as the value target; episode-boundary
+            # aware (packed rollouts interleave episodes in a lane) and
+            # bootstrapped with the critic at a mid-episode truncation
             def back(g, xs):
-                r, done_mask = xs
-                g = r + g * done_mask
-                return g, g
+                r, done, valid = xs
+                g = r + g * (1.0 - done)
+                return jnp.where(valid, g, 0.0), jnp.where(valid, g, 0.0)
 
-            nonterm = traj.valid.astype(jnp.float32)
+            g0 = (stats["last_value"] if stats is not None
+                  else jnp.zeros_like(traj.reward[0]))
             _, returns = jax.lax.scan(
-                back, jnp.zeros_like(traj.reward[0]),
-                (traj.reward, nonterm), reverse=True,
+                back, g0,
+                (traj.reward, traj.done.astype(jnp.float32), traj.valid),
+                reverse=True,
             )
 
-            def epoch(carry, _):
-                params, opt_state = carry
-                (loss, aux), grads = jax.value_and_grad(
-                    self._loss, has_aux=True
-                )(params, traj, returns)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), aux
+            if cfg.num_minibatches > 1:
+                N = T * B
+                nmb = min(cfg.num_minibatches, N)
+                mb = N // nmb
+                flat = {
+                    "obs": traj.obs.reshape((N,) + traj.obs.shape[2:]),
+                    "visit_probs": traj.visit_probs.reshape(
+                        (N,) + traj.visit_probs.shape[2:]),
+                    "valid": traj.valid.reshape(N),
+                    "ret": returns.reshape(N),
+                }
+                k_perm = jax.random.fold_in(key, 1)
+                ep_keys = jax.random.split(k_perm, cfg.num_epochs)
 
-            (params, opt_state), auxs = jax.lax.scan(
-                epoch, (params, opt_state), None, length=cfg.num_epochs
-            )
+                def epoch(carry, ek):
+                    params, opt_state = carry
+                    idx = jax.random.permutation(ek, N)[: mb * nmb]
+                    idx = idx.reshape(nmb, mb)
+
+                    def mb_step(c, ib):
+                        params, opt_state = c
+                        batch = jax.tree.map(lambda x: x[ib], flat)
+                        (loss, aux), grads = jax.value_and_grad(
+                            self._loss_flat, has_aux=True
+                        )(params, batch)
+                        updates, opt_state = self.tx.update(
+                            grads, opt_state, params)
+                        params = optax.apply_updates(params, updates)
+                        return (params, opt_state), aux
+
+                    (params, opt_state), auxs = jax.lax.scan(
+                        mb_step, (params, opt_state), idx)
+                    return (params, opt_state), jax.tree.map(
+                        lambda v: v.mean(), auxs)
+
+                (params, opt_state), auxs = jax.lax.scan(
+                    epoch, (params, opt_state), ep_keys)
+            else:
+                def epoch(carry, _):
+                    params, opt_state = carry
+                    (loss, aux), grads = jax.value_and_grad(
+                        self._loss, has_aux=True
+                    )(params, traj, returns)
+                    updates, opt_state = self.tx.update(grads, opt_state,
+                                                        params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), aux
+
+                (params, opt_state), auxs = jax.lax.scan(
+                    epoch, (params, opt_state), None, length=cfg.num_epochs
+                )
             metrics = {k: v[-1] for k, v in auxs.items()}
-            metrics["success_rate"] = final_state.success.mean()
+            if stats is not None:
+                done = jnp.maximum(stats["episodes_completed"].sum(), 1)
+                metrics["success_rate"] = (
+                    stats["episodes_succeeded"].sum() / done
+                )
+                metrics["episodes_completed"] = (
+                    stats["episodes_completed"].sum()
+                )
+            else:
+                metrics["success_rate"] = final_state.success.mean()
             metrics["steps_collected"] = traj.valid.sum()
             return params, opt_state, metrics
 

@@ -32,8 +32,22 @@ def save_training_state(algo, path: str) -> None:
     }
     if getattr(algo, "best_params", None) is not None:
         payload["best_params"] = jax.tree.map(np.asarray, algo.best_params)
-    with open(path, "wb") as f:
-        f.write(serialization.msgpack_serialize(payload))
+    # atomic swap: a kill mid-write (the exact scenario this resume feature
+    # exists for) must not truncate the only snapshot
+    import os
+    import tempfile
+
+    data = serialization.msgpack_serialize(payload)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                               prefix=os.path.basename(path) + ".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def restore_training_state(algo, path: str) -> None:

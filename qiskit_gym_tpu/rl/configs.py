@@ -219,6 +219,12 @@ class AlphaZeroConfig(_JsonMixin):
     num_mcts_searches: int = 1000
     C: float = 1.41
     max_expand_depth: int = 1
+    # episode packing: finished lanes are refilled mid-rollout from a pool
+    # of pregenerated reset batches (rl/az.collect_mcts_packed), so every
+    # scan step runs a useful MCTS decision instead of freezing finished
+    # lanes. Off by default (aligned collection, reference semantics).
+    episode_packing: bool = False
+    pack_pool_slots: int = 8
     # self-play exploration (AZ conventions; defaults keep the legacy
     # no-noise behavior and are omitted from JSON when left at defaults)
     root_noise_eps: float = 0.0     # Dirichlet noise fraction at the root
@@ -227,6 +233,11 @@ class AlphaZeroConfig(_JsonMixin):
     temperature_drop: int = 0       # argmax after this many moves (0 = never)
     # training
     num_epochs: int = 10
+    # gradient steps per epoch: 1 = one full-batch update (reference
+    # semantics); k > 1 shuffles the [T*B] transitions into k minibatches
+    # per epoch (same recipe that unlocked large-action-space PPO training,
+    # docs/TRAINING.md)
+    num_minibatches: int = 1
     # optimizer
     lr: float = 3e-4
     # curriculum
@@ -248,6 +259,9 @@ class AlphaZeroConfig(_JsonMixin):
             raise ValueError("bad root_noise_eps / dirichlet_alpha")
         if self.temperature <= 0 or self.temperature_drop < 0:
             raise ValueError("bad temperature / temperature_drop")
+        if self.pack_pool_slots < 1 or self.num_minibatches < 1:
+            raise ValueError(
+                "pack_pool_slots and num_minibatches must be >= 1")
 
     def to_json(self) -> dict:
         self.validate()
@@ -261,12 +275,14 @@ class AlphaZeroConfig(_JsonMixin):
             },
             "training": {"num_epochs": self.num_epochs},
         }
-        # exploration knobs are emitted only when changed, keeping configs
-        # written with defaults byte-identical to the reference schema
+        # exploration/packing knobs are emitted only when changed, keeping
+        # configs written with defaults byte-identical to the reference schema
         for k in ("root_noise_eps", "dirichlet_alpha", "temperature",
-                  "temperature_drop"):
+                  "temperature_drop", "episode_packing", "pack_pool_slots"):
             if getattr(self, k) != getattr(type(self), k):
                 out["collecting"][k] = getattr(self, k)
+        if self.num_minibatches != type(self).num_minibatches:
+            out["training"]["num_minibatches"] = self.num_minibatches
         out.update(self._tail_json())
         return out
 
@@ -284,7 +300,10 @@ class AlphaZeroConfig(_JsonMixin):
             dirichlet_alpha=col.get("dirichlet_alpha", cls.dirichlet_alpha),
             temperature=col.get("temperature", cls.temperature),
             temperature_drop=col.get("temperature_drop", cls.temperature_drop),
+            episode_packing=col.get("episode_packing", cls.episode_packing),
+            pack_pool_slots=col.get("pack_pool_slots", cls.pack_pool_slots),
             num_epochs=tr.get("num_epochs", cls.num_epochs),
+            num_minibatches=tr.get("num_minibatches", cls.num_minibatches),
             algorithm_cls=data.get("algorithm_cls", cls.algorithm_cls),
             **cls._tail_from_json(data),
         )

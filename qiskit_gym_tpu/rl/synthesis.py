@@ -42,12 +42,15 @@ class RLSynthesis:
         model_config,
         model_path: Optional[str] = None,
         seed: int = 0,
+        mesh=None,
     ):
         self.env = env
         self.env_config = env.to_json()
         self.rl_config = rl_config
         self.model_config = model_config
         self.seed = seed
+        self.mesh = mesh  # optional jax.sharding.Mesh; forwarded to the
+        #                   algorithm so train/eval/solve shard over it
         self.algorithm = self._init_algorithm(model_path)
 
     def _init_algorithm(self, model_path: Optional[str]):
@@ -63,7 +66,7 @@ class RLSynthesis:
         params = load_params(model_path) if model_path else None
         algorithm_cls = _algorithm_class(self.rl_config.algorithm_cls)
         return algorithm_cls(self.env, policy, self.rl_config, params=params,
-                             seed=self.seed)
+                             seed=self.seed, mesh=self.mesh)
 
     # -------------------------------------------------------------- persist
     @classmethod

@@ -194,3 +194,34 @@ def test_mcts_synth_pauli_symmetry_frame():
     assert out is not None, "MCTS synth failed on a 1-rotation 3q target"
     assert allclose_up_to_global_phase(circuit_unitary(out),
                                        circuit_unitary(target))
+
+
+def test_az_packed_minibatched_learns():
+    """AZ with episode packing + minibatched fitting (the PPO efficiency
+    recipe, docs/TRAINING.md) must train and pass the curriculum gate on a
+    trivial env; config knobs round-trip through JSON (omitted at
+    defaults, byte-compatible with the reference schema)."""
+    cfg = AlphaZeroConfig(
+        num_episodes=16, num_mcts_searches=16, num_epochs=2,
+        episode_packing=True, pack_pool_slots=2, num_minibatches=4,
+        evals={"mcts_100": EvalConfig(num_episodes=8, num_mcts_searches=8)},
+    )
+    j = cfg.to_json()
+    assert j["collecting"]["episode_packing"] is True
+    assert j["training"]["num_minibatches"] == 4
+    back = AlphaZeroConfig.from_json(j)
+    assert back.episode_packing and back.num_minibatches == 4
+    assert "episode_packing" not in AlphaZeroConfig(
+        num_mcts_searches=8).to_json()["collecting"]
+
+    env, _ = _env_and_policy(max_depth=16)
+    rls = RLSynthesis(env, cfg, BasicPolicyConfig(embedding_size=32,
+                                                  common_layers=[16]))
+    rls.learn(initial_difficulty=1, num_iterations=3)
+    algo = rls.algorithm
+    assert algo.iteration == 3
+    # packed mode reports episode counters
+    pattern = [1, 0, 2]
+    out = rls.synth(pattern, num_searches=8, num_mcts_searches=16)
+    assert out is not None
+    assert permutation_pattern(linear_from_circuit(out)).tolist() == pattern

