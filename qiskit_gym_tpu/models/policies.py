@@ -53,7 +53,31 @@ class BasicPolicy(nn.Module):
 
 
 class Conv1dPolicy(nn.Module):
-    """Conv1d frontend along obs axis `conv_dim`, then the MLP torso."""
+    """Conv1d frontend along obs axis `conv_dim`, then the MLP torso.
+
+    Architecture derivation. The reference documents only two conv knobs:
+    `conv_dim` (the obs axis convolved over) and `embedding_size` = "size of
+    the flattened/aggregated feature vector produced by the Conv1d stack
+    that is fed into the MLP torso" (reference rl/configs.py:619-631,
+    defaults conv_dim=1, embedding_size=1260 at configs.py:645-652). The
+    twisterl implementation is not vendored and the reference ships no conv
+    checkpoints (examples/models/*.pt are all BasicPolicy state dicts), so
+    the stack internals are underdetermined; what IS pinned down:
+      * the conv runs along obs axis `conv_dim` with the other axis as
+        channels;
+      * the stack's flattened output feeding the torso has size
+        `embedding_size`.
+    Realization here: one SAME-padded Conv (length L = obs_shape[conv_dim]
+    preserved) with out_channels C = ceil(embedding_size / L) — so conv
+    capacity scales with the configured embedding instead of being a fixed
+    guess — followed by an 'embeddings' Dense to exactly embedding_size
+    (a square mixing layer when L divides embedding_size, e.g. the 1260
+    default over a 63-column Pauli obs). kernel_size=3 is an explicit
+    assumption, recorded in the 'conv.weight' checkpoint shape so any
+    future real twisterl conv checkpoint import fails loudly on mismatch
+    rather than silently mis-importing. Self round-trip (save torch format
+    -> load -> identical logits) is tested in tests/test_api.py.
+    """
 
     num_actions: int
     conv_dim: int = 1
@@ -61,7 +85,6 @@ class Conv1dPolicy(nn.Module):
     common_layers: Tuple[int, ...] = (256,)
     policy_layers: Tuple[int, ...] = ()
     value_layers: Tuple[int, ...] = ()
-    conv_features: int = 32
     kernel_size: int = 3
 
     @nn.compact
@@ -70,8 +93,10 @@ class Conv1dPolicy(nn.Module):
         x = obs
         if self.conv_dim == 0:
             x = jnp.swapaxes(x, 1, 2)
-        # now [B, L, C]
-        x = nn.Conv(self.conv_features, (self.kernel_size,), name="conv")(x)
+        # now [B, L, C_in]
+        L = x.shape[1]
+        features = max(1, -(-self.embedding_size // L))  # ceil divide
+        x = nn.Conv(features, (self.kernel_size,), name="conv")(x)
         x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(self.embedding_size, name="embeddings")(x)

@@ -351,3 +351,36 @@ def test_training_state_resume_roundtrip(tmp_path):
     # resumed learning proceeds from the restored counter
     rls2.algorithm.learn(num_iterations=1)
     assert rls2.algorithm.iteration == 3
+
+
+def test_conv1d_torch_roundtrip_identical_logits(tmp_path):
+    """A Conv1d policy saved in the reference torch state-dict format
+    re-imports with bit-identical logits/value (conv kernel layout
+    [K, Cin, Cout] <-> torch [Cout, Cin, K] via the transpose in
+    models/torch_io.py; the assumed kernel_size is pinned by the stored
+    'conv.weight' shape)."""
+    import jax
+
+    from qiskit_gym_tpu.models import make_policy
+    from qiskit_gym_tpu.models.torch_io import (load_torch_checkpoint,
+                                                save_torch_checkpoint)
+    from qiskit_gym_tpu.rl import Conv1dPolicyConfig
+
+    env = LinearFunctionGym.from_coupling_map(LINE_3, max_depth=16)
+    cfg = Conv1dPolicyConfig(embedding_size=33, common_layers=[16],
+                             policy_layers=[8], value_layers=[8])
+    policy = make_policy(cfg.policy_cls, env.obs_shape(), env.num_actions(),
+                         cfg.to_json())
+    params = policy.init(jax.random.key(3))
+    # embedding_size=33 over a 3-column obs: flatten = 11*3 == embedding
+    assert params["params"]["conv"]["kernel"].shape == (3, 3, 11)
+    path = str(tmp_path / "conv.pt")
+    save_torch_checkpoint(params, path)
+    back = load_torch_checkpoint(path)
+    obs = np.asarray(
+        jax.random.bernoulli(jax.random.key(4), 0.5, (5, 3, 3))
+    ).astype(np.uint8)
+    la, va = policy.apply(params, obs)
+    lb, vb = policy.apply(back, obs)
+    assert np.array_equal(np.asarray(la), np.asarray(lb))
+    assert np.array_equal(np.asarray(va), np.asarray(vb))
