@@ -24,6 +24,7 @@ from qiskit_gym_tpu.ops.permutation import PermutationEnvCore
 from qiskit_gym_tpu.quantum import (
     Circuit,
     Clifford,
+    gf2_inverse,
     linear_from_circuit,
     linear_from_clifford,
     permutation_pattern,
@@ -240,10 +241,17 @@ class LinearFunctionGym(BaseSynthesisEnv):
     kind = "linear"
 
     def get_state(self, input) -> List[int]:
+        # Accepts Circuit/Clifford (reference surface: QuantumCircuit |
+        # LinearFunction, envs/synthesis.py:254-258) plus a raw GF(2)
+        # matrix — the form from_qiskit(LinearFunction) produces. The env
+        # state is the *adjoint*'s linear action, i.e. M^{-1}.
         input = _maybe_from_qiskit(input)
-        if isinstance(input, Circuit):
-            input = Clifford(input)
-        lin = linear_from_clifford(Clifford(input).adjoint())
+        if isinstance(input, np.ndarray) and input.ndim == 2:
+            lin = gf2_inverse(input.astype(np.uint8) % 2)
+        else:
+            if isinstance(input, Circuit):
+                input = Clifford(input)
+            lin = linear_from_clifford(Clifford(input).adjoint())
         return lin.flatten().astype(int).tolist()
 
     def encoded_to_dense(self, state) -> np.ndarray:
