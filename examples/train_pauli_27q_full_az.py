@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""27q heavy-hex Pauli, FULL 8-gate gateset (303 actions): rotation onset.
+
+Direct MCTS seed amplification (the dense-gateset recipe) does NOT carry
+over to the full gateset: warm-starting from the pre-onset scale-16 PPO
+artifact seeds 0.0% at the onset (measured, 50+ AZ iterations) where the
+dense 137-action run seeded 7% — the tree cannot stumble onto the
+rotation-sweep CX chain among 303 uninformed priors.
+
+What does transfer is the POLICY itself: the dense gateset
+(H/S/Sdg x 27 + CX x 56, basis of the full one) is a strict subset of the
+full 303-action gateset, and the observation encoding is gateset-
+independent. So we graft the dense AZ artifact — which already crossed
+the onset and sweeps rotations at difficulty 8 — into a 303-action head:
+
+- embeddings / common trunk / value head: copied verbatim;
+- action head: each dense action's logit column is copied to its index in
+  the full gateset; the 166 new actions (SX/SXdg/CZ/SWAP) get zero
+  kernel columns and a floor bias (min of the transferred biases), i.e.
+  small-but-alive priors the self-play tree can still explore.
+
+Then 96-sim AlphaZero self-play (lr 3e-4, 4 epochs — the internalization
+recipe from docs/TRAINING.md) continues the curriculum on the full env.
+
+Target (VERDICT item 3): difficulty >= pauli_diff_scale + 4 = 8 (rotation
+budget 2) with >= 0.85 eval, full gateset.
+
+Usage: python examples/train_pauli_27q_full_az.py [minutes] (default 100)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from qiskit_gym_tpu.envs import PauliGym
+from qiskit_gym_tpu.utils.serialization import load_params
+from qiskit_gym_tpu.rl import AlphaZeroConfig, BasicPolicyConfig, RLSynthesis
+
+MODELS = os.path.join(os.path.dirname(__file__), "models")
+HEAVY_HEX_27 = [
+    (0, 1), (1, 2), (1, 4), (2, 3), (3, 5), (4, 7), (5, 8), (6, 7), (7, 10),
+    (8, 9), (8, 11), (10, 12), (11, 14), (12, 13), (12, 15), (13, 14),
+    (14, 16), (15, 18), (16, 19), (17, 18), (18, 21), (19, 20), (19, 22),
+    (21, 23), (22, 25), (23, 24), (24, 25), (25, 26),
+]
+
+
+def graft_action_head(full_params, dense_params, dense_gateset, full_gateset):
+    """Copy dense policy params into the full-gateset param tree."""
+    import jax.numpy as jnp
+
+    fidx = {g: i for i, g in enumerate(full_gateset)}
+    cols = np.array([fidx[g] for g in dense_gateset])
+
+    src = dense_params["params"]
+    dst = {k: dict(v) for k, v in full_params["params"].items()}
+    for name in src:
+        if name == "action_out":
+            continue
+        dst[name] = src[name]
+
+    k_src = np.asarray(src["action_out"]["kernel"])      # [H, 137]
+    b_src = np.asarray(src["action_out"]["bias"])        # [137]
+    H = k_src.shape[0]
+    k_new = np.zeros((H, len(full_gateset)), dtype=k_src.dtype)
+    b_new = np.full(len(full_gateset), b_src.min(), dtype=b_src.dtype)
+    k_new[:, cols] = k_src
+    b_new[cols] = b_src
+    dst["action_out"] = {"kernel": jnp.asarray(k_new),
+                         "bias": jnp.asarray(b_new)}
+    return {"params": dst}
+
+
+def main():
+    budget_s = 60 * (float(sys.argv[1]) if len(sys.argv) > 1 else 100.0)
+    edges = HEAVY_HEX_27 + [(b, a) for a, b in HEAVY_HEX_27]
+    env = PauliGym.from_coupling_map(edges, max_rotations=5,
+                                     pauli_diff_scale=4, depth_slope=4,
+                                     pauli_layer_reward=0.05)
+    out_json = os.path.join(MODELS, "az_pauli_heavy_hex_27q_full.json")
+    out_pt = os.path.join(MODELS, "az_pauli_heavy_hex_27q_full.pt")
+    cfg = AlphaZeroConfig(num_episodes=512, num_mcts_searches=96,
+                          num_epochs=4, lr=3e-4,
+                          root_noise_eps=0.25, temperature_drop=8)
+
+    if os.path.exists(out_pt):                 # resume an interrupted run
+        print("resuming from", out_pt, flush=True)
+        rls = RLSynthesis(env, cfg, BasicPolicyConfig(), model_path=out_pt)
+    else:
+        import json
+        rls = RLSynthesis(env, cfg, BasicPolicyConfig())
+        dense_cfg = json.load(open(os.path.join(
+            MODELS, "az_pauli_heavy_hex_27q_dense.json")))
+        dense_gs = [(g[0], tuple(g[1])) for g in dense_cfg["env"]["gateset"]]
+        dense_params = load_params(os.path.join(
+            MODELS, "az_pauli_heavy_hex_27q_dense.pt"))
+        rls.algorithm.params = graft_action_head(
+            rls.algorithm.params, dense_params, dense_gs, env.gateset)
+        print("grafted dense artifact into 303-action head", flush=True)
+
+    t0 = time.time()
+    difficulty = 4          # the onset; the grafted policy solves it already
+    while time.time() - t0 < budget_s:
+        rls.learn(initial_difficulty=difficulty, num_iterations=2,
+                  tb_path="runs/az_pauli_27q_full")
+        difficulty = int(getattr(rls.env, "difficulty", difficulty))
+        print(f"[{(time.time() - t0) / 60:5.1f} min] iter "
+              f"{rls.algorithm.iteration} difficulty {difficulty}",
+              flush=True)
+        rls.save(out_json, out_pt, best=True)
+
+    print(f"stopped at difficulty {difficulty}")
+    os._exit(0)  # axon teardown otherwise hangs ~90 s
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,13 @@ class BaseSynthesisEnv:
     kind: Optional[str] = None  # 'linear' | 'clifford' | None
 
     def __init__(self, **config):
+        # Direct construction (e.g. CliffordGym(num_qubits=3, gateset=[...]))
+        # fills the same defaults from_coupling_map uses — mirroring the
+        # reference, whose native env ctors default every optional arg
+        # (reference envs/synthesis.py:75-81, rust permutation.rs:260-303).
+        config.setdefault("difficulty", 1)
+        config.setdefault("depth_slope", 2)
+        config.setdefault("max_depth", 128)
         self.config = dict(config)
         self.spec = self.spec_cls(**config)
         self._difficulty = int(config.get("difficulty", 1))
