@@ -34,9 +34,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
-
 from qiskit_gym_tpu.envs import PauliGym
+from qiskit_gym_tpu.models import graft_action_head
 from qiskit_gym_tpu.utils.serialization import load_params
 from qiskit_gym_tpu.rl import AlphaZeroConfig, BasicPolicyConfig, RLSynthesis
 
@@ -47,32 +46,6 @@ HEAVY_HEX_27 = [
     (14, 16), (15, 18), (16, 19), (17, 18), (18, 21), (19, 20), (19, 22),
     (21, 23), (22, 25), (23, 24), (24, 25), (25, 26),
 ]
-
-
-def graft_action_head(full_params, dense_params, dense_gateset, full_gateset):
-    """Copy dense policy params into the full-gateset param tree."""
-    import jax.numpy as jnp
-
-    fidx = {g: i for i, g in enumerate(full_gateset)}
-    cols = np.array([fidx[g] for g in dense_gateset])
-
-    src = dense_params["params"]
-    dst = {k: dict(v) for k, v in full_params["params"].items()}
-    for name in src:
-        if name == "action_out":
-            continue
-        dst[name] = src[name]
-
-    k_src = np.asarray(src["action_out"]["kernel"])      # [H, 137]
-    b_src = np.asarray(src["action_out"]["bias"])        # [137]
-    H = k_src.shape[0]
-    k_new = np.zeros((H, len(full_gateset)), dtype=k_src.dtype)
-    b_new = np.full(len(full_gateset), b_src.min(), dtype=b_src.dtype)
-    k_new[:, cols] = k_src
-    b_new[cols] = b_src
-    dst["action_out"] = {"kernel": jnp.asarray(k_new),
-                         "bias": jnp.asarray(b_new)}
-    return {"params": dst}
 
 
 def main():

@@ -2,6 +2,7 @@
 
 from .policies import BasicPolicy, Conv1dPolicy, PolicyBundle, make_policy
 from .torch_io import load_torch_checkpoint, save_torch_checkpoint
+from .transfer import graft_action_head
 
 __all__ = [
     "BasicPolicy",
@@ -10,4 +11,5 @@ __all__ = [
     "make_policy",
     "load_torch_checkpoint",
     "save_torch_checkpoint",
+    "graft_action_head",
 ]
