@@ -132,6 +132,9 @@ def main():
     report["az_clifford_heavy_hex_27q (MCTS-48, 1 search)"] = eval_artifact(
         "az_clifford_heavy_hex_27q", [8, 16, 32], num_episodes=64,
         num_searches=1, mcts=48)
+    report["az_pauli_heavy_hex_27q_full (MCTS-96, 1 search)"] = eval_artifact(
+        "az_pauli_heavy_hex_27q_full", [4, 6, 8], num_episodes=64,
+        num_searches=1, mcts=96)
 
     # ---- user-facing synth() round-trips on random in-gateset circuits
     from qiskit_gym_tpu.quantum import (Clifford, allclose_up_to_global_phase,
@@ -193,6 +196,12 @@ def main():
     synth_report["az_perm_grid_3x3 (MCTS-32, 4 searches)"] = \
         synth_quality("az_perm_grid_3x3", [4, 8], num_targets=12,
                       num_searches=4, mcts=32, check=perm_ck)
+    # full 303-action gateset artifact: Clifford-regime round-trips verified
+    # by tableau equality (27q statevector checks are infeasible; the
+    # rotation-regime unitary check lives in the 18q sv_ck row above)
+    synth_report["az_pauli_heavy_hex_27q_full (MCTS-32, 4 searches)"] = \
+        synth_quality("az_pauli_heavy_hex_27q_full", [4, 8], num_targets=12,
+                      num_searches=4, mcts=32, check=cliff_ck)
 
     lines = ["# Solve quality (shipped artifacts, one v5e chip)", "",
              "Scrambles drawn by the env at each difficulty; solve rate over",
