@@ -25,7 +25,10 @@ recipe from docs/TRAINING.md) continues the curriculum on the full env.
 Target (VERDICT item 3): difficulty >= pauli_diff_scale + 4 = 8 (rotation
 budget 2) with >= 0.85 eval, full gateset.
 
-Usage: python examples/train_pauli_27q_full_az.py [minutes] (default 100)
+Usage: python examples/train_pauli_27q_full_az.py [minutes] [num_sims]
+       (defaults 100 / 96; a later invocation resumes the exact training
+       state from runs/az_pauli_27q_full/train_state.msgpack — use a higher
+       num_sims to push amplification at the difficulty frontier)
 """
 
 import os
@@ -56,13 +59,18 @@ def main():
                                      pauli_layer_reward=0.05)
     out_json = os.path.join(MODELS, "az_pauli_heavy_hex_27q_full.json")
     out_pt = os.path.join(MODELS, "az_pauli_heavy_hex_27q_full.pt")
-    cfg = AlphaZeroConfig(num_episodes=512, num_mcts_searches=96,
+    num_sims = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+    cfg = AlphaZeroConfig(num_episodes=512, num_mcts_searches=num_sims,
                           num_epochs=4, lr=3e-4,
                           root_noise_eps=0.25, temperature_drop=8)
 
-    if os.path.exists(out_pt):                 # resume an interrupted run
-        print("resuming from", out_pt, flush=True)
-        rls = RLSynthesis(env, cfg, BasicPolicyConfig(), model_path=out_pt)
+    snap = "runs/az_pauli_27q_full/train_state.msgpack"
+    if os.path.exists(snap):                   # resume the exact run state
+        rls = RLSynthesis(env, cfg, BasicPolicyConfig())
+        rls.algorithm.restore_training_state(snap)
+        print(f"resumed iter {rls.algorithm.iteration} "
+              f"difficulty {rls.env.difficulty} (sims={num_sims})",
+              flush=True)
     else:
         import json
         rls = RLSynthesis(env, cfg, BasicPolicyConfig())
@@ -76,7 +84,8 @@ def main():
         print("grafted dense artifact into 303-action head", flush=True)
 
     t0 = time.time()
-    difficulty = 4          # the onset; the grafted policy solves it already
+    # fresh run: start at the onset (the grafted policy solves it already)
+    difficulty = int(getattr(rls.env, "difficulty", 0)) or 4
     while time.time() - t0 < budget_s:
         rls.learn(initial_difficulty=difficulty, num_iterations=2,
                   tb_path="runs/az_pauli_27q_full")

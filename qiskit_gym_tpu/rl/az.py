@@ -534,13 +534,32 @@ def mcts_solve(env, policy, params, state_encoded, num_searches: int,
         params = shard_params(mesh, params)
 
     T = core.max_depth
-    final_state, traj = jax.jit(
+    # Bound the work per device dispatch. At reference-scale settings
+    # (num_mcts_searches=1000 over a 128-step horizon) a single program
+    # runs for minutes and TPU-relay watchdogs kill the worker (measured:
+    # 100 lanes x 256 sims x 32 moves ~ 47 s survives, 512 sims crashes).
+    # Chunk the move scan on host: same semantics (move index only gates
+    # the self-play temperature schedule, unused here), one compile,
+    # early-exit once every lane is final.
+    CHUNK_MOVE_SIMS = 4096
+    t_chunk = min(T, max(1, CHUNK_MOVE_SIMS // max(num_mcts_searches, 1)))
+    chunk_fn = jax.jit(
         lambda s, k: collect_mcts(
-            core, policy.apply, params, s, k, T,
+            core, policy.apply, params, s, k, t_chunk,
             num_sims=num_mcts_searches, c_puct=C, deterministic=deterministic,
             max_expand_depth=max_expand_depth,
         )
-    )(state, key)
+    )
+    trajs = []
+    final_state = state
+    for _ in range(-(-T // t_chunk)):
+        key, sub = jax.random.split(key)
+        final_state, tr = chunk_fn(final_state, sub)
+        trajs.append(jax.tree.map(np.asarray, tr))
+        if bool(np.asarray(core.is_final(final_state)).all()):
+            break
+    traj = (trajs[0] if len(trajs) == 1 else
+            jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *trajs))
 
     best = best_lane(final_state, traj)
     if best is None:
