@@ -222,6 +222,33 @@ def test_az_pauli_27q_dense_artifact():
     assert any(g[0] in ("rx", "ry", "rz") for g in out2)
 
 
+def test_az_pauli_27q_full_gateset_artifact():
+    """27q heavy-hex AZ Pauli policy over the FULL 303-action gateset
+    (gateset-transfer graft of the dense artifact + 96-sim self-play,
+    curriculum to difficulty 8 at pauli_diff_scale=4 — docs/TRAINING.md).
+    Same verification shape as the dense artifact test."""
+    from qiskit_gym_tpu.quantum import Clifford
+
+    rls = _load("az_pauli_heavy_hex_27q_full")
+    assert rls.env.num_actions() == 303
+
+    target = Circuit(27)
+    target.h(0).cx(0, 1).s(1)
+    out = rls.synth(target, deterministic=True, num_searches=1)
+    if out is None:
+        out = rls.synth(target, num_searches=8, num_mcts_searches=16)
+    assert out is not None
+    assert np.array_equal(Clifford(out).tableau, Clifford(target).tableau)
+
+    rot = Circuit(27)
+    rot.cx(2, 3).rz(0.7, 3)
+    out2 = rls.synth(rot, deterministic=True, num_searches=1)
+    if out2 is None:
+        out2 = rls.synth(rot, num_searches=8, num_mcts_searches=16)
+    assert out2 is not None
+    assert any(g[0] in ("rx", "ry", "rz") for g in out2)
+
+
 def test_az_clifford_heavy_hex_artifact():
     """27q heavy-hex AZ Clifford policy (warm-started from the PPO artifact,
     48-sim self-play to curriculum difficulty 39) solves greedily."""
