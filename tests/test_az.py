@@ -225,3 +225,21 @@ def test_az_packed_minibatched_learns():
     out = rls.synth(pattern, num_searches=8, num_mcts_searches=16)
     assert out is not None
     assert permutation_pattern(linear_from_circuit(out)).tolist() == pattern
+
+
+def test_mcts_solve_chunked_dispatch():
+    """Reference-default sim counts (num_mcts_searches=1000) must not run
+    the whole horizon as one device program — relay watchdogs kill
+    multi-minute dispatches (rl/az.py mcts_solve). Above the 4096
+    move-sims-per-dispatch budget the move scan is chunked on host with
+    early exit; the result must still solve and round-trip."""
+    env, _ = _env_and_policy(max_depth=16)
+    cfg = AlphaZeroConfig(num_episodes=8, num_mcts_searches=8, num_epochs=1)
+    rls = RLSynthesis(env, cfg, BasicPolicyConfig(embedding_size=32,
+                                                  common_layers=[16]))
+    # 520 sims -> t_chunk = 4096 // 520 = 7 < T = 16: chunked path, and an
+    # untrained policy still solves a 1-swap target through the tree.
+    pattern = [1, 0, 2]
+    out = rls.synth(pattern, num_searches=4, num_mcts_searches=520)
+    assert out is not None
+    assert permutation_pattern(linear_from_circuit(out)).tolist() == pattern
