@@ -229,6 +229,14 @@ def main():
         with open("docs/QUALITY.md", "w") as f:
             f.write(out)
 
+    if "--baseline5" in sys.argv:
+        # BASELINE config #5 at reference AZ defaults (1000 MCTS sims per
+        # decision, 100 search lanes); appends its rows after the tables
+        # above ("--write" passes through). Exits the process when done.
+        import bench_baseline5
+
+        bench_baseline5.main()
+
 
 if __name__ == "__main__":
     main()

@@ -135,3 +135,22 @@ def test_sharded_packed_train_step():
                     jnp.int32(2))
     jax.block_until_ready(p)
     assert float(m["episodes_completed"]) > 0
+
+
+def test_sharded_eval_matches_unsharded():
+    """Eval presets shard over the mesh (rl/ppo.py _make_eval) and must
+    compute the same success rate as the single-device eval given the same
+    key (VERDICT r1 weak #5: evals used to ignore the mesh)."""
+    from qiskit_gym_tpu.rl.configs import EvalConfig
+
+    env, algo_plain = _setup(None)
+    _, algo_mesh = _setup(make_mesh(8, mp=1))
+    algo_mesh.params = algo_plain.params
+
+    ev = EvalConfig(num_episodes=32, deterministic=True)
+    key = jax.random.key(11)
+    plain = float(algo_plain._make_eval(8, ev)(
+        algo_plain.params, key, jnp.int32(2)))
+    sharded = float(algo_mesh._make_eval(8, ev)(
+        algo_mesh.params, key, jnp.int32(2)))
+    assert abs(plain - sharded) < 1e-6
