@@ -521,7 +521,7 @@ def mcts_solve(env, policy, params, state_encoded, num_searches: int,
     env.solution_from_trace for reconstruction (inversion bookkeeping for
     the matrix envs; packed rotation events via spec replay for Pauli).
     """
-    from .solve import best_lane
+    from .solve import best_lane, cached_solve_jit
 
     core = env.core
     state = env.make_solve_state(state_encoded, num_searches)
@@ -543,18 +543,20 @@ def mcts_solve(env, policy, params, state_encoded, num_searches: int,
     # early-exit once every lane is final.
     CHUNK_MOVE_SIMS = 4096
     t_chunk = min(T, max(1, CHUNK_MOVE_SIMS // max(num_mcts_searches, 1)))
-    chunk_fn = jax.jit(
-        lambda s, k: collect_mcts(
-            core, policy.apply, params, s, k, t_chunk,
+    chunk_fn = cached_solve_jit(
+        core,
+        ("mcts", id(policy), t_chunk, num_mcts_searches, C, deterministic,
+         max_expand_depth),
+        lambda: lambda p, s, k: collect_mcts(
+            core, policy.apply, p, s, k, t_chunk,
             num_sims=num_mcts_searches, c_puct=C, deterministic=deterministic,
             max_expand_depth=max_expand_depth,
-        )
-    )
+        ))
     trajs = []
     final_state = state
     for _ in range(-(-T // t_chunk)):
         key, sub = jax.random.split(key)
-        final_state, tr = chunk_fn(final_state, sub)
+        final_state, tr = chunk_fn(params, final_state, sub)
         trajs.append(jax.tree.map(np.asarray, tr))
         if bool(np.asarray(core.is_final(final_state)).all()):
             break

@@ -11,12 +11,30 @@ host-side spec replay with packed rotation events for the Pauli env).
 
 from __future__ import annotations
 
+import weakref
 from typing import List, Optional
 
 import numpy as np
 import jax
 
 from .rollout import collect
+
+# Per-core cache of jitted solve programs. synth() used to build a fresh
+# lambda per call, which defeats jax.jit's identity-based caching and pays a
+# full retrace + compile per target — tens of seconds each over a TPU relay.
+# Params flow as call arguments so one compiled program serves every target
+# (and every params update). jax.jit still specializes per batch shape.
+_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def cached_solve_jit(core, cache_key, make_fn):
+    per_core = _JIT_CACHE.get(core)
+    if per_core is None:
+        per_core = {}
+        _JIT_CACHE[core] = per_core
+    if cache_key not in per_core:
+        per_core[cache_key] = jax.jit(make_fn())
+    return per_core[cache_key]
 
 
 def best_lane(final_state, traj) -> Optional[int]:
@@ -53,10 +71,11 @@ def policy_solve(
         params = shard_params(mesh, params)
 
     T = core.max_depth
-    final_state, traj = jax.jit(
-        lambda s, k: collect(core, policy.apply, params, s, k, T,
-                             deterministic=deterministic)
-    )(state, key)
+    fn = cached_solve_jit(
+        core, ("policy", id(policy), T, deterministic),
+        lambda: lambda p, s, k: collect(core, policy.apply, p, s, k, T,
+                                        deterministic=deterministic))
+    final_state, traj = fn(params, state, key)
 
     best = best_lane(final_state, traj)
     if best is None:
