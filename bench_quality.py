@@ -18,6 +18,12 @@ from qiskit_gym_tpu.rl import RLSynthesis
 from qiskit_gym_tpu.rl.rollout import collect
 
 
+def _progress(name, rows):
+    print(f"[quality] {name}: " + "; ".join(
+        f"d{r['difficulty']}={r['solve_rate']:.2f}/{r['mean_2q']:.1f}"
+        for r in rows), file=sys.stderr, flush=True)
+
+
 def eval_artifact(name, difficulties, num_episodes=256, num_searches=10,
                   mcts: int = 0):
     rls = RLSynthesis.from_config_json(f"examples/models/{name}.json",
@@ -52,6 +58,7 @@ def eval_artifact(name, difficulties, num_episodes=256, num_searches=10,
             "solve_rate": float(solved.mean()),
             "mean_2q": float(best.mean()) if solved.any() else float("nan"),
         })
+    _progress(name, rows)
     return rows
 
 
@@ -99,6 +106,7 @@ def synth_quality(name, depths, num_targets=24, num_searches=32,
             "solve_rate": ok / num_targets,
             "mean_2q": float(np.mean(cx)) if cx else float("nan"),
         })
+    _progress(f"synth:{name}", rows)
     return rows
 
 

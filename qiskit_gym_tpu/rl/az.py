@@ -544,8 +544,8 @@ def mcts_solve(env, policy, params, state_encoded, num_searches: int,
     CHUNK_MOVE_SIMS = 4096
     t_chunk = min(T, max(1, CHUNK_MOVE_SIMS // max(num_mcts_searches, 1)))
     chunk_fn = cached_solve_jit(
-        core,
-        ("mcts", id(policy), t_chunk, num_mcts_searches, C, deterministic,
+        core, policy,
+        ("mcts", t_chunk, num_mcts_searches, C, deterministic,
          max_expand_depth),
         lambda: lambda p, s, k: collect_mcts(
             core, policy.apply, p, s, k, t_chunk,

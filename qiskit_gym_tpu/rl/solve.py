@@ -27,14 +27,20 @@ from .rollout import collect
 _JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def cached_solve_jit(core, cache_key, make_fn):
+def cached_solve_jit(core, policy, cache_key, make_fn):
+    """cache_key identifies the static solve settings; the policy is held by
+    weakref so a garbage-collected policy whose id() gets reused can never
+    serve a stale compiled program."""
     per_core = _JIT_CACHE.get(core)
     if per_core is None:
         per_core = {}
         _JIT_CACHE[core] = per_core
-    if cache_key not in per_core:
-        per_core[cache_key] = jax.jit(make_fn())
-    return per_core[cache_key]
+    hit = per_core.get(cache_key)
+    if hit is not None and hit[0]() is policy:
+        return hit[1]
+    fn = jax.jit(make_fn())
+    per_core[cache_key] = (weakref.ref(policy), fn)
+    return fn
 
 
 def best_lane(final_state, traj) -> Optional[int]:
@@ -72,7 +78,7 @@ def policy_solve(
 
     T = core.max_depth
     fn = cached_solve_jit(
-        core, ("policy", id(policy), T, deterministic),
+        core, policy, ("policy", T, deterministic),
         lambda: lambda p, s, k: collect(core, policy.apply, p, s, k, T,
                                         deterministic=deterministic))
     final_state, traj = fn(params, state, key)
