@@ -84,8 +84,9 @@ def main():
         print("grafted dense artifact into 303-action head", flush=True)
 
     t0 = time.time()
-    # fresh run: start at the onset (the grafted policy solves it already)
-    difficulty = int(getattr(rls.env, "difficulty", 0)) or 4
+    # fresh run: start at the onset (the grafted policy solves it already);
+    # resumed runs carry the snapshot's curriculum difficulty (> 1)
+    difficulty = max(int(getattr(rls.env, "difficulty", 1)), 4)
     while time.time() - t0 < budget_s:
         rls.learn(initial_difficulty=difficulty, num_iterations=2,
                   tb_path="runs/az_pauli_27q_full")

@@ -25,7 +25,8 @@ Gate = Tuple[str, Tuple[int, ...]]
 
 
 def _norm(gateset: Sequence) -> list:
-    return [(str(name), tuple(int(q) for q in qs)) for name, qs in gateset]
+    return [(str(name).upper(), tuple(int(q) for q in qs))
+            for name, qs in gateset]
 
 
 def graft_action_head(dst_params: dict, src_params: dict,
@@ -56,6 +57,13 @@ def graft_action_head(dst_params: dict, src_params: dict,
 
     src = src_params["params"]
     dst = {k: dict(v) for k, v in dst_params["params"].items()}
+    extra = sorted(set(dst) - set(src))
+    if extra:
+        # a dst-only module would keep its random init and silently break
+        # the transferred-behavior guarantee (identical logits/value on
+        # shared actions) — architectures must match exactly
+        raise ValueError(f"destination policy has modules absent from the "
+                         f"source: {extra} (different architecture?)")
     for name in src:
         if name == "action_out":
             continue

@@ -41,10 +41,16 @@ def initialize(
     prev = getattr(initialize, "_args", None)
     if prev is not None:
         if args != prev and any(a is not None for a in args):
-            raise RuntimeError(
-                f"jax.distributed already initialized with {prev}; cannot "
-                f"re-initialize with {args}")
-        return
+            if not jax.distributed.is_initialized():
+                # the previous call was a single-host no-op — nothing was
+                # actually initialized, so honor the explicit request
+                pass
+            else:
+                raise RuntimeError(
+                    f"jax.distributed already initialized with {prev}; "
+                    f"cannot re-initialize with {args}")
+        else:
+            return
     if num_processes is None and coordinator_address is None:
         hosts = [h for h in
                  os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]

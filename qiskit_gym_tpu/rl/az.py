@@ -11,6 +11,7 @@ semantics are shared with PPO (reference configs rl/configs.py:300-508).
 from __future__ import annotations
 
 import time
+from types import SimpleNamespace
 from typing import Dict, NamedTuple, Optional
 
 import numpy as np
@@ -153,10 +154,13 @@ def collect_mcts_packed(core, policy_apply, params, key, T: int, B: int,
     rots = jax.random.randint(k_rot, (T,), 0, B)
 
     def step_fn(carry, xs):
-        env_state, n_done, n_succ = carry
+        env_state, n_done, n_succ, moves = carry
         keys_t, t, slot_t, rot_t = xs
+        # temperature_drop counts PER-EPISODE moves; under packing the scan
+        # index is meaningless for refilled episodes, so a per-lane move
+        # counter (reset on refresh) gates the schedule instead
         obs, probs, action, actual, live, inverted, stepped = _mcts_act(
-            core, policy_apply, params, env_state, keys_t, t, T,
+            core, policy_apply, params, env_state, keys_t, moves, T,
             num_sims, c_puct, deterministic, temperature, temperature_drop,
             noise_eps, dirichlet_alpha, max_expand_depth)
         done = live & core.is_final(stepped)
@@ -178,16 +182,17 @@ def collect_mcts_packed(core, policy_apply, params, key, T: int, B: int,
             fresh, stepped,
         )
         reward = jnp.where(live, stepped.reward, 0.0)
+        moves = jnp.where(refresh, 0, moves + 1)
         tr = AZTrajectory(
             obs=obs, visit_probs=probs, action=action, actual=actual,
             inverted=inverted, reward=reward, valid=live, done=done,
             success=jnp.zeros_like(live),
         )
-        return (new_state, n_done, n_succ), tr
+        return (new_state, n_done, n_succ, moves), tr
 
     zeros = jnp.zeros(B, jnp.int32)
-    (final_state, n_done, n_succ), traj = jax.lax.scan(
-        step_fn, (state0, zeros, zeros),
+    (final_state, n_done, n_succ, _), traj = jax.lax.scan(
+        step_fn, (state0, zeros, zeros, zeros),
         (step_keys, step_idx, slots, rots),
         length=T,
     )
@@ -557,17 +562,24 @@ def mcts_solve(env, policy, params, state_encoded, num_searches: int,
     for _ in range(-(-T // t_chunk)):
         key, sub = jax.random.split(key)
         final_state, tr = chunk_fn(params, final_state, sub)
-        trajs.append(jax.tree.map(np.asarray, tr))
+        # reconstruction needs only these [t_chunk, B] fields — pulling the
+        # full trajectory (obs + visit_probs) would move tens of MB per
+        # synth() call over a TPU relay for the 27q artifacts
+        trajs.append(SimpleNamespace(actual=np.asarray(tr.actual),
+                                     valid=np.asarray(tr.valid),
+                                     inverted=np.asarray(tr.inverted)))
         if bool(np.asarray(core.is_final(final_state)).all()):
             break
-    traj = (trajs[0] if len(trajs) == 1 else
-            jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *trajs))
+    traj = (trajs[0] if len(trajs) == 1 else SimpleNamespace(
+        actual=np.concatenate([t.actual for t in trajs], axis=0),
+        valid=np.concatenate([t.valid for t in trajs], axis=0),
+        inverted=np.concatenate([t.inverted for t in trajs], axis=0)))
 
     best = best_lane(final_state, traj)
     if best is None:
         return None
-    valid = np.asarray(traj.valid)[:, best]
-    actions = np.asarray(traj.actual)[:, best][valid]
-    inverted = np.asarray(traj.inverted)[:, best][valid]
+    valid = traj.valid[:, best]
+    actions = traj.actual[:, best][valid]
+    inverted = traj.inverted[:, best][valid]
     return env.solution_from_trace(state_encoded, actions.tolist(),
                                    inverted.tolist())

@@ -154,3 +154,29 @@ def test_sharded_eval_matches_unsharded():
     sharded = float(algo_mesh._make_eval(8, ev)(
         algo_mesh.params, key, jnp.int32(2)))
     assert abs(plain - sharded) < 1e-6
+
+
+def test_initialize_noop_then_explicit(monkeypatch):
+    """A single-host no-op initialize() must not block a later explicit
+    bring-your-own-cluster call (the recorded no-op args are not a real
+    jax.distributed initialization)."""
+    from qiskit_gym_tpu.parallel import distributed
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    monkeypatch.setattr(distributed.initialize, "_args", None,
+                        raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+
+    distributed.initialize()                       # single-host no-op
+    assert calls == []
+    distributed.initialize("10.0.0.1:1234", 2, 0)  # explicit must proceed
+    assert calls == [{"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 2, "process_id": 0}]
+    # now a DIFFERENT explicit re-init against a live client must raise
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    with pytest.raises(RuntimeError, match="already initialized"):
+        distributed.initialize("10.0.0.2:9999", 4, 1)
