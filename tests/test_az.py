@@ -243,3 +243,20 @@ def test_mcts_solve_chunked_dispatch():
     out = rls.synth(pattern, num_searches=4, num_mcts_searches=520)
     assert out is not None
     assert permutation_pattern(linear_from_circuit(out)).tolist() == pattern
+
+
+def test_az_packed_collection_with_temperature_drop():
+    """Packed self-play with a temperature schedule: the drop is gated on a
+    per-episode move counter (reset when a lane refills), not the global
+    scan index — refilled episodes must still sample their early moves
+    (rl/az.py collect_mcts_packed)."""
+    env, _ = _env_and_policy(max_depth=8)
+    cfg = AlphaZeroConfig(
+        num_episodes=8, num_mcts_searches=8, num_epochs=1,
+        episode_packing=True, pack_pool_slots=2, temperature_drop=2,
+        evals={"ppo_deterministic": EvalConfig(num_episodes=8)},
+    )
+    rls = RLSynthesis(env, cfg, BasicPolicyConfig(embedding_size=32,
+                                                  common_layers=[16]))
+    rls.learn(initial_difficulty=1, num_iterations=2)
+    assert rls.algorithm.iteration == 2
