@@ -60,9 +60,13 @@ def main():
     out_json = os.path.join(MODELS, "az_pauli_heavy_hex_27q_full.json")
     out_pt = os.path.join(MODELS, "az_pauli_heavy_hex_27q_full.pt")
     num_sims = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+    # temperature_drop 12 (not 8): difficulty-8 episodes (2 rotations + 8
+    # scrambles) need ~11-13 moves, and the rotation sweeps land late —
+    # argmaxing from move 8 starves exactly the tail the frontier needs to
+    # explore
     cfg = AlphaZeroConfig(num_episodes=512, num_mcts_searches=num_sims,
                           num_epochs=4, lr=3e-4,
-                          root_noise_eps=0.25, temperature_drop=8)
+                          root_noise_eps=0.25, temperature_drop=12)
 
     snap = "runs/az_pauli_27q_full/train_state.msgpack"
     if os.path.exists(snap):                   # resume the exact run state

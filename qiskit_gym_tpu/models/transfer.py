@@ -78,6 +78,11 @@ def graft_action_head(dst_params: dict, src_params: dict,
         raise ValueError(
             f"source action head has {k_src.shape[1]} outputs but "
             f"src_gateset lists {len(src_gs)} gates")
+    k_dst = np.asarray(dst_params["params"]["action_out"]["kernel"])
+    if k_dst.shape[1] != len(dst_gs):
+        raise ValueError(
+            f"destination action head has {k_dst.shape[1]} outputs but "
+            f"dst_gateset lists {len(dst_gs)} gates")
     k_new = np.zeros((k_src.shape[0], len(dst_gs)), dtype=k_src.dtype)
     b_new = np.full(len(dst_gs), b_src.min(), dtype=b_src.dtype)
     k_new[:, cols] = k_src

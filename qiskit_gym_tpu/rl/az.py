@@ -42,10 +42,14 @@ class AZTrajectory(NamedTuple):
 
 def _mcts_act(core, policy_apply, params, env_state, keys_t, t, T,
               num_sims, c_puct, deterministic, temperature, temperature_drop,
-              noise_eps, dirichlet_alpha, max_expand_depth):
+              noise_eps, dirichlet_alpha, max_expand_depth,
+              search_depth=None):
     """Shared per-step prologue for both MCTS collectors: observe -> batched
     MCTS -> visit-count action selection -> env step. Returns everything an
-    AZTrajectory row needs plus the raw stepped state."""
+    AZTrajectory row needs plus the raw stepped state. `search_depth`
+    overrides the tree-depth cap — callers that scan fewer than the
+    episode's remaining moves (the chunked solve) must pass the FULL
+    horizon's cap or the search silently shallows to the chunk length."""
     k_sim, k_act, k_step = keys_t[0], keys_t[1], keys_t[2]
     obs = core.dense(env_state)
     visits, root_value, _priors = mcts_search(
@@ -53,7 +57,7 @@ def _mcts_act(core, policy_apply, params, env_state, keys_t, t, T,
         num_sims=num_sims, c_puct=c_puct,
         # tree-depth cap: selection deeper than ~32 is vanishingly rare
         # and each extra level is a sequential fori iteration per sim
-        max_depth=min(T, 32),
+        max_depth=min(T, 32) if search_depth is None else search_depth,
         dirichlet_alpha=dirichlet_alpha, noise_eps=noise_eps,
         max_expand_depth=max_expand_depth,
     )
@@ -81,7 +85,7 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
                  num_sims: int, c_puct: float, deterministic: bool = False,
                  temperature: float = 1.0, temperature_drop: int = 0,
                  noise_eps: float = 0.0, dirichlet_alpha: float = 0.3,
-                 max_expand_depth: int = 1):
+                 max_expand_depth: int = 1, search_depth=None):
     """`noise_eps`/`dirichlet_alpha` add AZ root exploration noise per move;
     `temperature_drop > 0` switches from visit-sampling to argmax after that
     many moves (AlphaZero temperature schedule); both are self-play-only knobs
@@ -96,7 +100,7 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
         obs, probs, action, actual, live, inverted, stepped = _mcts_act(
             core, policy_apply, params, env_state, keys_t, t, T,
             num_sims, c_puct, deterministic, temperature, temperature_drop,
-            noise_eps, dirichlet_alpha, max_expand_depth)
+            noise_eps, dirichlet_alpha, max_expand_depth, search_depth)
         new_state = jax.tree.map(
             lambda new, old: jnp.where(
                 live.reshape(live.shape + (1,) * (new.ndim - 1)), new, old
@@ -136,7 +140,10 @@ def collect_mcts_packed(core, policy_apply, params, key, T: int, B: int,
     documents and fixes for PPO, but each wasted step here costs a full
     num_sims-simulation search). Pool-slot/rotation randomization follows
     collect_packed. Returns (final_state, AZTrajectory, stats) with
-    episode counters and last_value for value-target bootstrapping."""
+    episode counters and last_value for value-target bootstrapping.
+    CAVEAT: the returned traj.success describes whichever pooled episode
+    occupies each lane at the horizon — use the stats counters for success
+    rates under packing."""
     k_pool, k_roll, k_slot, k_rot = jax.random.split(key, 4)
     pool = core.reset(k_pool, B * pool_slots, difficulty)
     pool = jax.tree.map(
@@ -389,6 +396,15 @@ class AZ:
 
     def _make_eval(self, T: int, ev: EvalConfig):
         E, S = ev.num_episodes, ev.num_searches
+        if self.mesh is not None:
+            # a non-dp-divisible lane count (E*S) fails the sharding
+            # constraint; round E up to the smallest count making E*S a dp
+            # multiple (keeps the success-rate estimate unbiased)
+            import math
+
+            dp = dict(self.mesh.shape).get("dp", 1)
+            k = dp // math.gcd(S, dp)
+            E = -(-E // k) * k
         num_sims = ev.num_mcts_searches
         deterministic = ev.deterministic
 
@@ -526,9 +542,11 @@ def mcts_solve(env, policy, params, state_encoded, num_searches: int,
     env.solution_from_trace for reconstruction (inversion bookkeeping for
     the matrix envs; packed rotation events via spec replay for Pauli).
     """
-    from .solve import best_lane, cached_solve_jit
+    from .solve import best_lane, cached_solve_jit, round_up_lanes
 
     core = env.core
+    if mesh is not None:
+        num_searches = round_up_lanes(num_searches, mesh)
     state = env.make_solve_state(state_encoded, num_searches)
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
@@ -556,6 +574,9 @@ def mcts_solve(env, policy, params, state_encoded, num_searches: int,
             core, policy.apply, p, s, k, t_chunk,
             num_sims=num_mcts_searches, c_puct=C, deterministic=deterministic,
             max_expand_depth=max_expand_depth,
+            # the tree-depth cap must come from the FULL horizon, not the
+            # chunk length, or a 4-move chunk runs 4-deep searches
+            search_depth=min(T, 32),
         ))
     trajs = []
     final_state = state

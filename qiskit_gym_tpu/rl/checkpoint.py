@@ -40,6 +40,11 @@ def save_training_state(algo, path: str) -> None:
     data = serialization.msgpack_serialize(payload)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                prefix=os.path.basename(path) + ".tmp")
+    # mkstemp creates 0600; restore normal umask-derived perms so other
+    # users/tooling can still read the snapshot after the atomic swap
+    umask = os.umask(0)
+    os.umask(umask)
+    os.fchmod(fd, 0o666 & ~umask)
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(data)

@@ -227,6 +227,15 @@ class PPO:
 
     def _make_eval(self, T: int, ev: EvalConfig):
         E, S = ev.num_episodes, ev.num_searches
+        if self.mesh is not None:
+            # a non-dp-divisible lane count (E*S) fails the sharding
+            # constraint; round E up to the smallest count making E*S a dp
+            # multiple (keeps the success-rate estimate unbiased)
+            import math
+
+            dp = dict(self.mesh.shape).get("dp", 1)
+            k = dp // math.gcd(S, dp)
+            E = -(-E // k) * k
         deterministic = ev.deterministic
         num_sims = ev.num_mcts_searches
 

@@ -129,6 +129,10 @@ def collect_packed(core, policy_apply, params, key, T: int, B: int,
     episode (which always lasts exactly the depth budget) the same scramble
     over and over whenever the budget divides the schedule period.
 
+    CAVEAT: the returned traj.success describes whichever pooled episode
+    occupies each lane at the horizon — use the stats counters for success
+    rates under packing.
+
     Returns (final_state, Trajectory, stats) where stats is a dict with
     episodes_completed / episodes_succeeded [B] counters and last_value [B]
     for GAE horizon bootstrapping (mid-episode truncation at the scan end is

@@ -43,6 +43,15 @@ def cached_solve_jit(core, policy, cache_key, make_fn):
     return fn
 
 
+def round_up_lanes(n: int, mesh) -> int:
+    """Round a lane count up to a multiple of the mesh's 'dp' axis — a
+    non-divisible leading dim fails the sharding constraint (e.g. the
+    default num_searches=100 on an 8-device mesh). Extra lanes only widen
+    the best-of-N search."""
+    dp = dict(mesh.shape).get("dp", 1)
+    return -(-n // dp) * dp
+
+
 def best_lane(final_state, traj) -> Optional[int]:
     success = np.asarray(final_state.success)
     if not success.any():
@@ -67,6 +76,8 @@ def policy_solve(
     mesh=None,
 ) -> Optional[List[int]]:
     core = env.core
+    if mesh is not None:
+        num_searches = round_up_lanes(num_searches, mesh)
     state = env.make_solve_state(state_encoded, num_searches)
     if key is None:
         key = jax.random.key(np.random.randint(0, 2**31 - 1))
