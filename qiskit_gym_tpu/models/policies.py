@@ -89,11 +89,15 @@ class Conv1dPolicy(nn.Module):
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray):
-        # obs [B, d0, d1]; convolve along axis conv_dim+1, channels = other axis
+        # obs [B, d0, d1]; flax Conv is channels-last (spatial = axis 1), so
+        # bring obs axis `conv_dim` into the spatial slot and leave the
+        # other axis as channels. Sanity anchor: the 1260 default factors
+        # exactly over the 63-COLUMN Pauli obs (1260 = 63 x 20), so the
+        # default conv_dim=1 must convolve axis 1, not axis 0.
         x = obs
-        if self.conv_dim == 0:
+        if self.conv_dim == 1:
             x = jnp.swapaxes(x, 1, 2)
-        # now [B, L, C_in]
+        # now [B, L, C_in] with L = obs_shape[conv_dim]
         L = x.shape[1]
         features = max(1, -(-self.embedding_size // L))  # ceil divide
         x = nn.Conv(features, (self.kernel_size,), name="conv")(x)

@@ -71,3 +71,24 @@ def test_graft_rejects_non_subset_and_mismatch():
     with pytest.raises(ValueError, match="outputs"):
         graft_action_head(dst_params, src_params,
                           src_env.gateset[:-1], src_env.gateset[:-1])
+
+
+def test_conv1d_convolves_documented_axis():
+    """Conv1dPolicy must convolve obs axis `conv_dim` (flax Conv is
+    channels-last, so the swap condition is load-bearing). Anchor: the
+    reference's embedding_size=1260 factors exactly over a 63-column Pauli
+    obs (1260 = 63 x 20) — conv_dim=1 on a [54, 63] obs must give
+    conv.kernel [k, 54, 20] and a square 1260x1260 embeddings layer."""
+    import jax
+    import jax.numpy as jnp
+
+    from qiskit_gym_tpu.models.policies import Conv1dPolicy
+
+    m = Conv1dPolicy(num_actions=10)  # defaults: conv_dim=1, 1260
+    params = m.init(jax.random.key(0), jnp.zeros((1, 54, 63)))
+    assert params["params"]["conv"]["kernel"].shape == (3, 54, 20)
+    assert params["params"]["embeddings"]["kernel"].shape == (1260, 1260)
+
+    m0 = Conv1dPolicy(num_actions=10, conv_dim=0, embedding_size=54 * 2)
+    p0 = m0.init(jax.random.key(0), jnp.zeros((1, 54, 63)))
+    assert p0["params"]["conv"]["kernel"].shape == (3, 63, 2)
