@@ -144,16 +144,11 @@ def collect_mcts_packed(core, policy_apply, params, key, T: int, B: int,
     CAVEAT: the returned traj.success describes whichever pooled episode
     occupies each lane at the horizon — use the stats counters for success
     rates under packing."""
-    k_pool, k_roll, k_slot, k_rot = jax.random.split(key, 4)
-    pool = core.reset(k_pool, B * pool_slots, difficulty)
-    pool = jax.tree.map(
-        lambda x: x.reshape((pool_slots, B) + x.shape[1:]), pool
-    )
-    if mesh is not None:
-        from qiskit_gym_tpu.parallel import shard_env_state
+    from .rollout import make_packed_pool, packed_refill
 
-        pool = shard_env_state(mesh, pool, batch_axis=1)
-    state0 = jax.tree.map(lambda x: x[0], pool)
+    k_pool, k_roll, k_slot, k_rot = jax.random.split(key, 4)
+    pool, state0 = make_packed_pool(core, k_pool, B, pool_slots, difficulty,
+                                    mesh)
 
     step_keys = jax.random.split(k_roll, 3 * T).reshape(T, 3)
     step_idx = jnp.arange(T, dtype=jnp.int32)
@@ -175,19 +170,7 @@ def collect_mcts_packed(core, policy_apply, params, key, T: int, B: int,
         n_succ = n_succ + (done & stepped.success).astype(jnp.int32)
 
         refresh = done | ~live
-        fresh = jax.tree.map(
-            lambda p: jnp.roll(
-                jax.lax.dynamic_index_in_dim(p, slot_t, 0, keepdims=False),
-                rot_t, axis=0,
-            ),
-            pool,
-        )
-        new_state = jax.tree.map(
-            lambda fr, st: jnp.where(
-                refresh.reshape(refresh.shape + (1,) * (st.ndim - 1)), fr, st
-            ),
-            fresh, stepped,
-        )
+        new_state = packed_refill(pool, stepped, refresh, slot_t, rot_t)
         reward = jnp.where(live, stepped.reward, 0.0)
         moves = jnp.where(refresh, 0, moves + 1)
         tr = AZTrajectory(

@@ -113,6 +113,43 @@ def collect(core, policy_apply, params, state, key, T: int,
     return final_state, traj
 
 
+def make_packed_pool(core, key, B, pool_slots, difficulty, mesh=None):
+    """Pregenerate `pool_slots` reset batches for packed collection:
+    [slots, B, ...] pytree (lanes sharded over 'dp' when a mesh is given)
+    plus the slot-0 batch as the initial live state. Shared by the PPO and
+    AZ packed collectors — the refill semantics must stay in lockstep."""
+    pool = core.reset(key, B * pool_slots, difficulty)
+    pool = jax.tree.map(
+        lambda x: x.reshape((pool_slots, B) + x.shape[1:]), pool
+    )
+    if mesh is not None:
+        # keep pool slots replicated-by-slot but env lanes sharded over dp
+        # (axis 1 here), matching the live state's sharding
+        from qiskit_gym_tpu.parallel import shard_env_state
+
+        pool = shard_env_state(mesh, pool, batch_axis=1)
+    return pool, jax.tree.map(lambda x: x[0], pool)
+
+
+def packed_refill(pool, stepped, refresh, slot_t, rot_t):
+    """Refill `refresh` lanes of `stepped` from random pool slot `slot_t`
+    with lane rotation `rot_t` (see collect_packed's docstring for why both
+    draws must be random)."""
+    fresh = jax.tree.map(
+        lambda p: jnp.roll(
+            jax.lax.dynamic_index_in_dim(p, slot_t, 0, keepdims=False),
+            rot_t, axis=0,
+        ),
+        pool,
+    )
+    return jax.tree.map(
+        lambda fr, st: jnp.where(
+            refresh.reshape(refresh.shape + (1,) * (st.ndim - 1)), fr, st
+        ),
+        fresh, stepped,
+    )
+
+
 def collect_packed(core, policy_apply, params, key, T: int, B: int,
                    difficulty, pool_slots: int = 8,
                    deterministic: bool = False, mesh=None):
@@ -139,17 +176,8 @@ def collect_packed(core, policy_apply, params, key, T: int, B: int,
     expected here, unlike the aligned collector where the horizon is the
     depth budget)."""
     k_pool, k_roll, k_slot, k_rot = jax.random.split(key, 4)
-    pool = core.reset(k_pool, B * pool_slots, difficulty)
-    pool = jax.tree.map(
-        lambda x: x.reshape((pool_slots, B) + x.shape[1:]), pool
-    )
-    if mesh is not None:
-        # keep pool slots replicated-by-slot but env lanes sharded over dp
-        # (axis 1 here), matching the live state's sharding
-        from qiskit_gym_tpu.parallel import shard_env_state
-
-        pool = shard_env_state(mesh, pool, batch_axis=1)
-    state0 = jax.tree.map(lambda x: x[0], pool)
+    pool, state0 = make_packed_pool(core, k_pool, B, pool_slots, difficulty,
+                                    mesh)
 
     gumbel, flips, step_keys = _pregen_randomness(core, k_roll, T, B,
                                                   deterministic)
@@ -169,19 +197,7 @@ def collect_packed(core, policy_apply, params, key, T: int, B: int,
         # refill finished lanes (and any dead lane, e.g. an instantly-solved
         # fresh reset) from a random pool slot with a random lane rotation
         refresh = done | ~live
-        fresh = jax.tree.map(
-            lambda p: jnp.roll(
-                jax.lax.dynamic_index_in_dim(p, slot_t, 0, keepdims=False),
-                rot_t, axis=0,
-            ),
-            pool,
-        )
-        new_state = jax.tree.map(
-            lambda fr, st: jnp.where(
-                refresh.reshape(refresh.shape + (1,) * (st.ndim - 1)), fr, st
-            ),
-            fresh, stepped,
-        )
+        new_state = packed_refill(pool, stepped, refresh, slot_t, rot_t)
         reward = jnp.where(live, stepped.reward, 0.0)
         tr = Trajectory(
             obs=obs, action=action, actual=actual, logp=logp, value=value,
