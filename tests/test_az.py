@@ -260,3 +260,27 @@ def test_az_packed_collection_with_temperature_drop():
                                                   common_layers=[16]))
     rls.learn(initial_difficulty=1, num_iterations=2)
     assert rls.algorithm.iteration == 2
+
+
+def test_chunked_solve_keeps_full_search_depth(monkeypatch):
+    """Chunking the solve scan must NOT shrink the MCTS tree-depth cap to
+    the chunk length — a 1000-sim synth once silently ran 4-deep searches
+    (rl/az.py mcts_solve search_depth)."""
+    from qiskit_gym_tpu.rl import az as az_mod
+
+    recorded = []
+    real = az_mod.mcts_search
+
+    def spy(*args, **kw):
+        recorded.append(kw.get("max_depth"))
+        return real(*args, **kw)
+
+    monkeypatch.setattr(az_mod, "mcts_search", spy)
+    env, _ = _env_and_policy(max_depth=16)
+    cfg = AlphaZeroConfig(num_episodes=8, num_mcts_searches=8, num_epochs=1)
+    rls = RLSynthesis(env, cfg, BasicPolicyConfig(embedding_size=32,
+                                                  common_layers=[16]))
+    # 520 sims -> t_chunk = 7 < T = 16: the chunked path must still search
+    # min(T, 32) = 16 deep
+    rls.synth([1, 0, 2], num_searches=4, num_mcts_searches=520)
+    assert recorded and all(d == 16 for d in recorded)
