@@ -234,6 +234,16 @@ def main():
     print(out)
     print(f"(total {time.time() - t0:.0f}s)", file=sys.stderr)
     if "--write" in sys.argv:
+        # carry over the BASELINE config #5 section (written separately by
+        # bench_baseline5.py --write) so a quality refresh doesn't drop it
+        try:
+            with open("docs/QUALITY.md") as f:
+                prev = f.read()
+            marker = "## BASELINE config #5"
+            if marker in prev:
+                out += "\n" + prev[prev.index(marker):]
+        except FileNotFoundError:
+            pass
         with open("docs/QUALITY.md", "w") as f:
             f.write(out)
 
