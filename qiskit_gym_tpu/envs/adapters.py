@@ -8,6 +8,8 @@ the assert-on-stepping-a-final-env and attribute forwarding.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 try:
@@ -41,8 +43,10 @@ class GymnasiumEnv(_GYM_BASE):
         return full.reshape(self._obs_shape)
 
     def reset(self, *, seed=None, options=None):
-        if seed is not None and gym is not None:
-            super().reset(seed=seed)
+        if seed is not None:
+            if gym is not None:
+                super().reset(seed=seed)
+            # reproducibility must not depend on gymnasium being importable
             self._spec_env.rng = np.random.default_rng(seed)
         self._spec_env.reset()
         return self._full_obs(), {}
@@ -110,13 +114,18 @@ class VectorGymnasiumEnv:
     same batched kernels that drive training are also a user surface.
     """
 
-    def __init__(self, env, num_envs: int = 256, difficulty: int = 1,
-                 seed: int = 0):
+    def __init__(self, env, num_envs: int = 256,
+                 difficulty: Optional[int] = None, seed: int = 0):
         import jax
 
         self._synth_env = env
         self.core = env.core
         self.num_envs = int(num_envs)
+        # inherit the wrapped env's curriculum difficulty unless overridden
+        # (matching the single-env adapter; a silent default of 1 made
+        # vector evaluation run on a trivially easy distribution)
+        if difficulty is None:
+            difficulty = int(getattr(env, "difficulty", 1))
         self._difficulty = int(difficulty)
         self._key = jax.random.key(seed)
         self._state = None

@@ -40,9 +40,6 @@ from qiskit_gym_tpu.spec.pauli_env import decode_solution as decode_pauli_soluti
 ONE_Q_GATES = ["H", "S", "Sdg", "SX", "SXdg"]
 TWO_Q_GATES = ["CX", "CZ", "SWAP"]
 
-ROTATION_MARKER = 0x80000000
-
-
 def _maybe_from_qiskit(obj):
     """Convert qiskit objects to this framework's types when possible."""
     mod = type(obj).__module__ or ""
@@ -253,6 +250,11 @@ class LinearFunctionGym(BaseSynthesisEnv):
         # matrix — the form from_qiskit(LinearFunction) produces. The env
         # state is the *adjoint*'s linear action, i.e. M^{-1}.
         input = _maybe_from_qiskit(input)
+        if (isinstance(input, (list, tuple))
+                and np.asarray(input).ndim == 2):
+            # nested-list GF(2) matrix: without this it would fall through
+            # to Clifford(list) and be misread as a 2n/2-qubit tableau
+            input = np.asarray(input)
         if isinstance(input, np.ndarray) and input.ndim == 2:
             lin = gf2_inverse(input.astype(np.uint8) % 2)
         else:
@@ -331,6 +333,7 @@ class PauliGym(BaseSynthesisEnv):
         config.setdefault("pauli_diff_scale", 16)
         super().__init__(**config)
         self._rotation_params: List[float] = []
+        self._rotations: List[str] = []
         self._original_circuit: Optional[Circuit] = None
 
     def _build_core(self):
@@ -378,9 +381,15 @@ class PauliGym(BaseSynthesisEnv):
 
     def solution_from_trace(self, state_encoded, actions, inverted):
         """Replay through the spec twin to recover the packed solution
-        (gate indices interleaved with rotation events incl. phases)."""
-        replay = self.spec_cls(**{**self._filter_config(self.config),
-                                  "add_perms": False})
+        (gate indices interleaved with rotation events incl. phases).
+        The replay env is cached — constructing one redoes the coupling-
+        graph BFS distance tables, wasted work per solved target —
+        set_state() fully reinitializes it (spec/base.py:126-129)."""
+        replay = getattr(self, "_replay_env", None)
+        if replay is None:
+            replay = self.spec_cls(**{**self._filter_config(self.config),
+                                      "add_perms": False})
+            self._replay_env = replay
         replay.set_state(list(state_encoded))
         for a in actions:
             if replay.is_final():
@@ -421,6 +430,22 @@ class PauliGym(BaseSynthesisEnv):
         else:
             raise ValueError(f"Unsupported input type: {type(input)}")
 
+        rotations = list(rotations or [])
+        max_r = int(self.config.get("max_rotations", 5))
+        if len(rotations) > max_r:
+            # the env truncates the target to max_rotations but the
+            # reconstruction replays all of them — reject up front instead
+            # of synthesizing a wrong circuit
+            raise ValueError(
+                f"target has {len(rotations)} rotations but this env was "
+                f"built with max_rotations={max_r}")
+        for rot in rotations:
+            if not any(ch in "XYZxyz" for ch in rot):
+                raise ValueError(
+                    f"rotation label {rot!r} has no X/Y/Z support (an "
+                    "identity rotation is a global phase; drop it from the "
+                    "target)")
+        self._rotations = rotations
         tableau = (
             clifford_for_state.tableau[:, :-1].T.flatten().astype(int).tolist()
         )
@@ -447,8 +472,13 @@ class PauliGym(BaseSynthesisEnv):
         num_qubits = self.config["num_qubits"]
         qc = Circuit(num_qubits)
 
-        # rebuild the replay network from the target encoding
-        enc = self.get_state(input)
+        # rebuild the replay network from the target encoding, restoring
+        # the label/angle kwargs remembered from the encoding call (a bare
+        # Clifford input re-encoded without them would lose the rotations)
+        rots = list(getattr(self, "_rotations", []))
+        params = list(self._rotation_params)
+        enc = self.get_state(input, rotations=rots or None,
+                             rotation_params=params or None)
         tableau, labels = self._parse_encoded(enc, num_qubits)
         net = PauliNetwork(tableau.reshape(-1), labels)
 

@@ -117,14 +117,26 @@ def _python_automorphisms(num_qubits: int, adj: List[set]) -> List[List[int]]:
 def build_action_perm(
     gateset: Sequence[Gate], perm: Sequence[int]
 ) -> Optional[List[int]]:
-    index = {_canonical_key(g): i for i, g in enumerate(gateset)}
+    # Duplicate canonical keys are legal gatesets (a symmetric coupling map
+    # expands SWAP on both edge directions; the canonical key sorts SWAP
+    # qubits, collapsing the pair). Map the k-th action of a key to the
+    # k-th action of the relabeled key so the result stays a BIJECTION —
+    # a last-write-wins dict would alias duplicate actions and corrupt the
+    # policy's symmetrized logits.
+    index: dict = {}
+    for i, g in enumerate(gateset):
+        index.setdefault(_canonical_key(g), []).append(i)
+    seen: dict = {}
     act: List[int] = []
     for name, qubits in gateset:
+        src_key = _canonical_key((name, qubits))
+        k = seen.get(src_key, 0)
+        seen[src_key] = k + 1
         relabeled = tuple(perm[q] for q in qubits)
-        idx = index.get(_canonical_key((name, relabeled)))
-        if idx is None:
+        targets = index.get(_canonical_key((name, relabeled)))
+        if targets is None or k >= len(targets):
             return None
-        act.append(idx)
+        act.append(targets[k])
     return act
 
 

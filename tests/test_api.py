@@ -384,3 +384,89 @@ def test_conv1d_torch_roundtrip_identical_logits(tmp_path):
     lb, vb = policy.apply(back, obs)
     assert np.array_equal(np.asarray(la), np.asarray(lb))
     assert np.array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_duplicate_swap_twists_stay_bijective():
+    """A symmetric coupling map expands SWAP on both edge directions; the
+    canonical key collapses the pair, and the action twists must still be
+    bijections (a last-write-wins lookup aliased duplicate actions and
+    corrupted symmetrized logits)."""
+    from qiskit_gym_tpu.spec.symmetry import compute_twists_square
+
+    gs = [("SWAP", (0, 1)), ("SWAP", (1, 0)), ("SWAP", (1, 2)),
+          ("SWAP", (2, 1))]
+    _, act = compute_twists_square(3, gs)
+    assert len(act) == 2  # identity + line reversal
+    for p in act:
+        assert sorted(p) == list(range(len(gs)))
+
+
+def test_pauli_get_state_validates_rotations():
+    from qiskit_gym_tpu.envs.synthesis import PauliGym
+
+    gym = PauliGym.from_coupling_map(LINE_3, max_rotations=2)
+    cliff = Clifford.identity(3)
+    with pytest.raises(ValueError, match="max_rotations"):
+        gym.get_state((cliff, ["XZ", "ZX", "XX"]))
+    with pytest.raises(ValueError, match="identity rotation"):
+        gym.get_state((cliff, ["II"]))
+
+
+def test_pauli_clifford_kwarg_rotations_roundtrip():
+    """Targets given as a bare Clifford + rotations/rotation_params KWARGS
+    must reconstruct with their rotations (the re-encode inside
+    build_circuit_from_solution used to drop them)."""
+    from qiskit_gym_tpu.envs.synthesis import PauliGym
+    from qiskit_gym_tpu.quantum import (allclose_up_to_global_phase,
+                                        circuit_unitary)
+
+    gym = PauliGym.from_coupling_map(LINE_3, max_rotations=3)
+    target = Circuit(3).cx(0, 1).rz(0.7, 1)
+    cliff, labels, params = __import__(
+        "qiskit_gym_tpu.envs.synthesis", fromlist=["_parse_pauli_circuit"]
+    )._parse_pauli_circuit(target)
+    enc = gym.get_state(cliff.adjoint().adjoint(), rotations=labels,
+                        rotation_params=params)
+    # solve on the spec twin (deterministic replay path)
+    spec = gym.spec
+    spec.set_state(enc)
+    # brute-force a short solving action sequence
+    import itertools
+
+    sol = None
+    for L in (1, 2, 3):
+        for seq in itertools.product(range(spec.num_actions()), repeat=L):
+            spec.set_state(enc)
+            ok = True
+            for a in seq:
+                if spec.is_final():
+                    ok = False
+                    break
+                spec.step(a)
+            if ok and spec.success:
+                sol = gym.solution_from_trace(enc, list(seq),
+                                              [False] * len(seq))
+                break
+        if sol is not None:
+            break
+    assert sol is not None
+    out = gym.build_circuit_from_solution(sol, cliff)
+    assert any(g[0] in ("rx", "ry", "rz") for g in out)
+
+
+def test_lf_get_state_accepts_nested_lists():
+    env = LinearFunctionGym.from_coupling_map(
+        [(0, 1), (1, 0), (1, 2), (2, 1)])
+    mat = [[1, 0, 0], [1, 1, 0], [0, 0, 1]]
+    got = env.get_state(mat)
+    want = env.get_state(np.asarray(mat, dtype=np.uint8))
+    assert got == want and len(got) == 9
+
+
+def test_vector_env_inherits_difficulty():
+    from qiskit_gym_tpu.envs import vector_gym_adapter
+
+    env = PermutationGym.from_coupling_map(LINE_3, max_depth=16)
+    env.difficulty = 5
+    venv = vector_gym_adapter(env, num_envs=4)
+    assert venv.difficulty == 5
