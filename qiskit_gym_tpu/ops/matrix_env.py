@@ -604,6 +604,8 @@ class MatrixEnvCore:
         action: jnp.ndarray,
         key: jax.Array,
         invert_override: Optional[jnp.ndarray] = None,
+        actual_override: Optional[jnp.ndarray] = None,  # unused; API
+        #   uniformity with PauliEnvCore (matrix envs have no internal perms)
     ) -> MatrixEnvState:
         """One batched env step. `key` is consumed for the inversion coin-flip;
         `invert_override` (bool [B]) injects the flips for trace tests."""

@@ -160,6 +160,10 @@ def fused_step_apply(core, a, ainv, actions, flips,
     """Apply per-env actions + inversion flips in one fused pass.
 
     Returns (new_a, new_ainv, success bool [B])."""
+    if a.shape[0] % block_b:
+        raise ValueError(
+            f"batch {a.shape[0]} not divisible by block_b={block_b}: the "
+            "grid would floor-truncate and leave trailing envs unwritten")
     if not hasattr(core, "_rowop_tables"):
         core._rowop_tables = tuple(build_rowop_tables(core))
     new_a, new_ainv, succ = _vpu_call(

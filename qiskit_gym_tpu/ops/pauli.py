@@ -503,12 +503,17 @@ class PauliEnvCore:
                 "uses its own consolidated fat-table decode (always XLA)")
 
     def translate_action(self, state: PauliEnvState, action):
-        """Policy-frame -> env-frame action through the active automorphism."""
+        """Policy-frame -> env-frame action through the active automorphism.
+        The noop action (== num_actions) passes through untouched — the
+        act_perms table is [P, A] and an out-of-bounds gather would clamp
+        to the LAST REAL GATE, silently stepping the env."""
         if self.num_perms == 1:
             # trivial automorphism group (e.g. 27q heavy-hex): identity map,
             # skip the per-env 2-D table gather entirely
             return action
-        return self.act_perms[state.perm_idx, action]
+        a = jnp.minimum(action, self.num_actions - 1)
+        return jnp.where(action >= self.num_actions, action,
+                         self.act_perms[state.perm_idx, a])
 
     # ----------------------------------------------------------------- step
     def step(
@@ -517,9 +522,13 @@ class PauliEnvCore:
         action: jnp.ndarray,
         key: jax.Array,
         invert_override=None,  # unused; API uniformity
+        actual_override=None,
     ) -> PauliEnvState:
-        # un-permute the incoming action through the active automorphism
-        actual = self.translate_action(state, action)
+        # un-permute the incoming action through the active automorphism;
+        # collectors that already translated it for the trajectory record
+        # pass it through to skip the duplicate per-env 2-D table gather
+        actual = (actual_override if actual_override is not None
+                  else self.translate_action(state, action))
         # ONE consolidated table gather feeds metrics, the tableau update
         # terms, and the primitive sequence
         mtype, q1, q2, (U32, S32, pt, p1, p2) = (
@@ -709,7 +718,8 @@ class PauliEnvCore:
         else:
             static_diff = isinstance(difficulty, (int, np.integer))
             K = int(difficulty) if static_diff else self.scramble_cap
-            K = max(K, 1)
+            K = max(K, 1)  # zero-size sample arrays break fori; noop-mask
+            #                difficulty 0 below instead
             k1, k2 = jax.random.split(key)
             r = jax.random.uniform(k1, (B, K))
             rq = jax.random.randint(k2, (B, K, 3), 0, 1 << 30)
@@ -722,6 +732,10 @@ class PauliEnvCore:
             if not static_diff:
                 mask = jnp.arange(K)[None, :] < jnp.asarray(difficulty)
                 idx = jnp.where(mask, idx, noop)
+            elif int(difficulty) == 0:
+                # spec parity: difficulty 0 resets to the identity tableau
+                # (the K = max(K, 1) clamp would otherwise apply one op)
+                idx = jnp.full_like(idx, noop)
 
         tab0 = jnp.tile(self.ident_pk[None], (B, 1))
 

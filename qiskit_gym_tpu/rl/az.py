@@ -77,7 +77,7 @@ def _mcts_act(core, policy_apply, params, env_state, keys_t, t, T,
     # pauli.rs:592-599); the executed gate is translate_action(action)
     actual = (core.translate_action(env_state, action)
               if hasattr(core, "translate_action") else action)
-    stepped = core.step(env_state, action, k_step)
+    stepped = core.step(env_state, action, k_step, actual_override=actual)
     return obs, probs, action, actual, live, env_state.inverted, stepped
 
 
@@ -201,6 +201,15 @@ class AZ:
                  params: Optional[dict] = None, seed: int = 0, mesh=None):
         self.env = env
         self.core = env.core
+        cap = getattr(self.core, "scramble_cap", None)
+        if cap is not None and getattr(config, "diff_max", 0) > cap:
+            import warnings
+
+            warnings.warn(
+                f"diff_max={config.diff_max} exceeds the traced-reset "
+                f"scramble cap ({cap}): curriculum difficulties above the "
+                f"cap scramble identically to {cap} while depth budgets "
+                "keep growing", stacklevel=2)
         self.policy = policy
         self.config = config
         self.mesh = mesh

@@ -369,8 +369,12 @@ class Conv1dPolicyConfig:
     value_layers: List[int] = field(default_factory=list)
     policy_cls: str = "qiskit_gym_tpu.models.Conv1dPolicy"
 
-    validate = BasicPolicyConfig.validate
     with_updates = BasicPolicyConfig.with_updates
+
+    def validate(self):
+        BasicPolicyConfig.validate(self)
+        if self.conv_dim not in (0, 1):
+            raise ValueError(f"conv_dim must be 0 or 1, got {self.conv_dim}")
 
     def to_json(self) -> dict:
         self.validate()

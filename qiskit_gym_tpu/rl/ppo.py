@@ -30,6 +30,15 @@ class PPO:
                  params: Optional[dict] = None, seed: int = 0, mesh=None):
         self.env = env                      # user-facing gym (has .core, .difficulty)
         self.core = env.core
+        cap = getattr(self.core, "scramble_cap", None)
+        if cap is not None and getattr(config, "diff_max", 0) > cap:
+            import warnings
+
+            warnings.warn(
+                f"diff_max={config.diff_max} exceeds the traced-reset "
+                f"scramble cap ({cap}): curriculum difficulties above the "
+                f"cap scramble identically to {cap} while depth budgets "
+                "keep growing", stacklevel=2)
         self.policy = policy
         self.config = config
         self.mesh = mesh                    # optional jax.sharding.Mesh (dp[, mp])

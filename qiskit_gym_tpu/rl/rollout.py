@@ -74,7 +74,8 @@ def _sample_and_step(core, policy_apply, params, env_state, g_t, flip_t,
               if hasattr(core, "translate_action") else action)
     stepped = core.step(env_state, action, key_t,
                         invert_override=flip_t
-                        if getattr(core, "add_inverts", False) else None)
+                        if getattr(core, "add_inverts", False) else None,
+                        actual_override=actual)
     return obs, action, actual, logp, value, live, inverted, stepped
 
 

@@ -15,8 +15,12 @@ def timed(label: str = "", sink: Optional[list] = None):
     """Wall-clock a block, blocking on async dispatch at exit."""
     t0 = time.perf_counter()
     yield
-    # ensure all queued work is done before reading the clock
+    # ensure all queued work is done before reading the clock:
+    # effects_barrier only waits on effectful tokens, so also block on a
+    # trivial computation enqueued AFTER the block — devices execute
+    # programs in enqueue order, making it an ordering barrier
     jax.effects_barrier()
+    jax.block_until_ready(jax.jit(lambda: 0)())
     dt = time.perf_counter() - t0
     if sink is not None:
         sink.append((label, dt))

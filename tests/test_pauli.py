@@ -364,3 +364,33 @@ def test_pauli_reset_path_episode_constructively_solvable():
         state = step(state, jnp.asarray([aidx[g]]), sub)
     assert bool(np.asarray(state.success)[0])
     assert int(np.asarray(state.active).sum()) == 0
+
+
+def test_reset_difficulty_zero_is_identity():
+    """Static difficulty 0 must reset to the solved identity tableau (the
+    K=max(K,1) sample-shape clamp once applied a real scramble op)."""
+    import jax
+
+    from qiskit_gym_tpu.envs.synthesis import PauliGym
+
+    env = PauliGym.from_coupling_map([(0, 1), (1, 0), (1, 2), (2, 1)])
+    state = env.core.reset(jax.random.key(0), 8, 0)
+    assert bool(np.asarray(state.success).all())
+
+
+def test_noop_action_survives_translation():
+    """The noop action (== num_actions) must pass through translate_action
+    untouched — the [P, A] act_perms gather would clamp it to the last real
+    gate for envs with a nontrivial automorphism group."""
+    import jax
+    import jax.numpy as jnp
+
+    from qiskit_gym_tpu.envs.synthesis import PauliGym
+
+    env = PauliGym.from_coupling_map([(0, 1), (1, 0), (1, 2), (2, 1)])
+    core = env.core
+    assert core.num_perms > 1
+    state = core.reset(jax.random.key(1), 4, 2)
+    noop = jnp.full(4, core.noop_action, jnp.int32)
+    out = np.asarray(core.translate_action(state, noop))
+    assert (out == core.noop_action).all()
