@@ -13,14 +13,40 @@ Per-family numbers go to stderr.
 """
 
 import json
-import numpy as np
+import os
+import socket
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 
-from qiskit_gym_tpu.envs import (CliffordGym, LinearFunctionGym, PauliGym,
+def _fail_fast_if_relay_dead():
+    """If jax is configured for the axon TPU relay but its port is closed,
+    print ONE actionable line and exit 1 instead of hanging forever in
+    backend init (the axon plugin retries a dead port indefinitely)."""
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    port = int(os.environ.get("QGT_RELAY_PORT", "8082"))
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=5):
+            return
+    except OSError as e:
+        print(
+            f"bench.py: TPU relay DEAD — no listener on 127.0.0.1:{port} "
+            f"({e.__class__.__name__}); skipping (jax init would hang). "
+            "Restart the relay, then re-run; see docs/BACKLOG.md runbook.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+
+_fail_fast_if_relay_dead()
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from qiskit_gym_tpu.envs import (CliffordGym, LinearFunctionGym, PauliGym,  # noqa: E402
                                  PermutationGym)
 
 HEAVY_HEX_27 = [
@@ -128,3 +154,9 @@ if __name__ == "__main__":
         scale_sweep()
     else:
         main()
+    # axon PJRT teardown can hang ~90s after the result is already printed;
+    # the JSON line is flushed, so exit hard (same pattern as examples/).
+    sys.stdout.flush()
+    sys.stderr.flush()
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        os._exit(0)
