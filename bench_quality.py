@@ -235,15 +235,18 @@ def main():
     print(f"(total {time.time() - t0:.0f}s)", file=sys.stderr)
     if "--write" in sys.argv:
         # carry over the BASELINE config #5 section (written separately by
-        # bench_baseline5.py --write) so a quality refresh doesn't drop it
-        try:
-            with open("docs/QUALITY.md") as f:
-                prev = f.read()
-            marker = "## BASELINE config #5"
-            if marker in prev:
-                out += "\n" + prev[prev.index(marker):]
-        except FileNotFoundError:
-            pass
+        # bench_baseline5.py --write) so a quality refresh doesn't drop it —
+        # unless --baseline5 runs right after, which appends a fresh one
+        # (carrying over here too would accumulate duplicate sections)
+        if "--baseline5" not in sys.argv:
+            try:
+                with open("docs/QUALITY.md") as f:
+                    prev = f.read()
+                marker = "## BASELINE config #5"
+                if marker in prev:
+                    out += "\n" + prev[prev.index(marker):]
+            except FileNotFoundError:
+                pass
         with open("docs/QUALITY.md", "w") as f:
             f.write(out)
 

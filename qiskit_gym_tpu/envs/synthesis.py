@@ -15,6 +15,7 @@ Each gym owns:
 from __future__ import annotations
 
 import inspect
+from collections import OrderedDict
 from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -335,6 +336,10 @@ class PauliGym(BaseSynthesisEnv):
         self._rotation_params: List[float] = []
         self._rotations: List[str] = []
         self._original_circuit: Optional[Circuit] = None
+        # rotations/angles remembered per encoded target (keyed on the
+        # tableau part of the encoding), so interleaved get_state calls on
+        # different targets don't cross-contaminate reconstruction
+        self._rotation_memo: "OrderedDict[tuple, tuple]" = OrderedDict()
 
     def _build_core(self):
         from qiskit_gym_tpu.ops.pauli import PauliEnvCore
@@ -449,6 +454,14 @@ class PauliGym(BaseSynthesisEnv):
         tableau = (
             clifford_for_state.tableau[:, :-1].T.flatten().astype(int).tolist()
         )
+        # remember this target's rotations/angles keyed on its tableau so
+        # reconstruction stays correct when targets are encoded interleaved
+        key = tuple(tableau)
+        self._rotation_memo[key] = (list(rotations),
+                                    list(self._rotation_params))
+        self._rotation_memo.move_to_end(key)
+        while len(self._rotation_memo) > 128:
+            self._rotation_memo.popitem(last=False)
         state = [len(rotations)]
         state.extend(tableau)
         for rot in rotations:
@@ -456,7 +469,23 @@ class PauliGym(BaseSynthesisEnv):
             state.extend(ord(c) for c in rot)
         return state
 
-    def build_circuit_from_solution(self, actions: List[int], input) -> Circuit:
+    @staticmethod
+    def _target_key(inp) -> tuple:
+        """The rotation-memo key for a non-Circuit target: the same tableau
+        flattening get_state encodes (tuple inputs are taken as-is, bare
+        Cliffords are adjointed — mirroring the get_state branches)."""
+        if isinstance(inp, tuple):
+            clifford_for_state = Clifford(_maybe_from_qiskit(inp[0]))
+        else:
+            clifford_for_state = inp.adjoint()
+        return tuple(
+            clifford_for_state.tableau[:, :-1].T.flatten().astype(int).tolist()
+        )
+
+    def build_circuit_from_solution(self, actions: List[int], input,
+                                    rotations: Optional[List[str]] = None,
+                                    rotation_params: Optional[List[float]]
+                                    = None) -> Circuit:
         """Rebuild the circuit from the packed solution.
 
         Rotations are re-placed by replaying the gate actions through a fresh
@@ -465,19 +494,36 @@ class PauliGym(BaseSynthesisEnv):
         whole composite the frame has changed and the recorded axis/qubit
         would be wrong). The network's cnot(i, j) is the transposed-index
         convention, so it reconstructs as cx(j, i)
-        (reference envs/synthesis.py:487-493)."""
+        (reference envs/synthesis.py:487-493).
+
+        For Clifford/tuple inputs the rotation labels/angles are restored
+        from the per-target memo recorded at get_state time (keyed on the
+        target's tableau, so interleaved encodings of different targets
+        reconstruct correctly); pass `rotations`/`rotation_params`
+        explicitly to override."""
         from qiskit_gym_tpu.spec.pauli_env import PauliNetwork
 
         full = decode_pauli_solution(actions)
         num_qubits = self.config["num_qubits"]
         qc = Circuit(num_qubits)
 
-        # rebuild the replay network from the target encoding, restoring
-        # the label/angle kwargs remembered from the encoding call (a bare
-        # Clifford input re-encoded without them would lose the rotations)
-        rots = list(getattr(self, "_rotations", []))
-        params = list(self._rotation_params)
-        enc = self.get_state(input, rotations=rots or None,
+        # rebuild the replay network from the target encoding; for
+        # non-Circuit inputs restore the label/angle kwargs remembered for
+        # THIS target (a bare Clifford re-encoded without them would lose
+        # the rotations)
+        rots, params = rotations, rotation_params
+        inp = _maybe_from_qiskit(input)
+        if not isinstance(inp, Circuit) and (rots is None or params is None):
+            memo = self._rotation_memo.get(self._target_key(inp))
+            if memo is not None:
+                rots = memo[0] if rots is None else rots
+                params = memo[1] if params is None else params
+            else:  # fall back to the most recent encoding (legacy behavior)
+                rots = list(getattr(self, "_rotations", [])) \
+                    if rots is None else rots
+                params = list(self._rotation_params) if params is None \
+                    else params
+        enc = self.get_state(inp, rotations=rots or None,
                              rotation_params=params or None)
         tableau, labels = self._parse_encoded(enc, num_qubits)
         net = PauliNetwork(tableau.reshape(-1), labels)

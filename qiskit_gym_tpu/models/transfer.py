@@ -70,6 +70,17 @@ def graft_action_head(dst_params: dict, src_params: dict,
         if name not in dst:
             raise ValueError(f"param module {name!r} missing from "
                              "destination policy (different architecture?)")
+        for leaf, v in src[name].items():
+            have = tuple(np.shape(dst[name].get(leaf, ())))
+            want = tuple(np.shape(v))
+            if have != want:
+                # same module names but different widths / obs shape would
+                # otherwise surface later as an opaque apply() shape error
+                # or a silently wrong-shaped saved checkpoint
+                raise ValueError(
+                    f"shape mismatch grafting module {name!r} leaf "
+                    f"{leaf!r}: source {want} vs destination {have} "
+                    "(different obs shape or layer widths?)")
         dst[name] = src[name]
 
     k_src = np.asarray(src["action_out"]["kernel"])

@@ -444,6 +444,7 @@ class AZ:
         cfg = self.config
         B = cfg.num_episodes
         difficulty = int(getattr(self.env, "difficulty", 1))
+        metrics = {}
         for _ in range(num_iterations):
             it_start = time.time()
             T = self._horizon(difficulty)
@@ -485,6 +486,12 @@ class AZ:
                 )
                 self.save_training_state(
                     os.path.join(self.run_path, "train_state.msgpack"))
+
+        from qiskit_gym_tpu.utils.logging import write_learn_end_note
+
+        write_learn_end_note(self.tb_writer, self.iteration, difficulty,
+                             self.best_difficulty, metrics,
+                             self.best_params is not None)
 
     def save_training_state(self, path: str) -> None:
         from .checkpoint import save_training_state

@@ -294,6 +294,7 @@ class PPO:
         cfg = self.config
         B = cfg.num_episodes
         difficulty = int(getattr(self.env, "difficulty", 1))
+        metrics = {}
         for _ in range(num_iterations):
             it_start = time.time()
             T = self._horizon(difficulty)
@@ -333,6 +334,12 @@ class PPO:
                 self.iteration % cfg.checkpoint_freq == 0
             ):
                 self._checkpoint()
+
+        from qiskit_gym_tpu.utils.logging import write_learn_end_note
+
+        write_learn_end_note(self.tb_writer, self.iteration, difficulty,
+                             self.best_difficulty, metrics,
+                             self.best_params is not None)
 
     def _checkpoint(self):
         import os

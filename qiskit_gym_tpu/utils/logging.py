@@ -46,6 +46,14 @@ class JsonlLogger:
         self._step = None
         self._fh.flush()
 
+    def add_note(self, note: str, step: int) -> None:
+        """Append a human-readable marker line ({"step": N, "note": ...}) —
+        used for end-of-learn state so a run directory is self-describing
+        (e.g. 'collapsed; ship the best snapshot @ difficulty N')."""
+        self._flush()
+        self._fh.write(json.dumps({"step": int(step), "note": note}) + "\n")
+        self._fh.flush()
+
     def close(self) -> None:
         self._flush()
         self._fh.close()
@@ -57,6 +65,27 @@ class JsonlLogger:
         self.close()
 
 
+def write_learn_end_note(writer, step: int, difficulty: int,
+                         best_difficulty: int, last_metrics: dict,
+                         has_best_snapshot: bool) -> None:
+    """Terminal run-state marker so a run directory is self-describing.
+
+    A training run that walked into a zero-success regime ends with live
+    params destroyed by the entropy bonus (docs/TRAINING.md 'entropy-collapse
+    wall') while the proven snapshot is fine — without a marker, the final
+    metrics rows read as a failed run."""
+    if writer is None or not hasattr(writer, "add_note"):
+        return
+    note = (f"learn() ended at difficulty {difficulty}; proven "
+            f"best_difficulty={best_difficulty}")
+    if last_metrics.get("success_rate", 1.0) == 0.0 and has_best_snapshot:
+        note += ("; final iteration had zero collection success "
+                 "(entropy-collapse wall, docs/TRAINING.md) — ship the "
+                 f"best=True snapshot @ difficulty {best_difficulty}, "
+                 "not the live params")
+    writer.add_note(note, step)
+
+
 class MultiWriter:
     """Fan-out add_scalar to several writers (e.g. TensorBoard + JSONL)."""
 
@@ -66,6 +95,11 @@ class MultiWriter:
     def add_scalar(self, tag: str, value, step: int) -> None:
         for w in self.writers:
             w.add_scalar(tag, value, step)
+
+    def add_note(self, note: str, step: int) -> None:
+        for w in self.writers:
+            if hasattr(w, "add_note"):
+                w.add_note(note, step)
 
     def flush(self) -> None:
         for w in self.writers:

@@ -17,10 +17,13 @@ def timed(label: str = "", sink: Optional[list] = None):
     yield
     # ensure all queued work is done before reading the clock:
     # effects_barrier only waits on effectful tokens, so also block on a
-    # trivial computation enqueued AFTER the block — devices execute
-    # programs in enqueue order, making it an ordering barrier
+    # trivial transfer enqueued AFTER the block on EVERY local device —
+    # each device executes its queue in enqueue order, so this is an
+    # ordering barrier even for programs dispatched to a mesh
     jax.effects_barrier()
-    jax.block_until_ready(jax.jit(lambda: 0)())
+    jax.block_until_ready(
+        [jax.device_put(0, d) for d in jax.local_devices()]
+    )
     dt = time.perf_counter() - t0
     if sink is not None:
         sink.append((label, dt))

@@ -454,6 +454,56 @@ def test_pauli_clifford_kwarg_rotations_roundtrip():
     assert any(g[0] in ("rx", "ry", "rz") for g in out)
 
 
+def test_pauli_interleaved_targets_keep_their_rotations():
+    """Encoding target A (with rotations), then target B, then rebuilding
+    A's solution must restore A's rotation labels/angles — the remembered
+    rotations are keyed per target, not instance-global."""
+    from qiskit_gym_tpu.envs.synthesis import PauliGym, _parse_pauli_circuit
+
+    gym = PauliGym.from_coupling_map(LINE_3, max_rotations=3)
+
+    targ_a = Circuit(3).cx(0, 1).rz(0.7, 1)
+    targ_b = Circuit(3).cx(1, 2).rz(1.3, 2)
+    cliff_a, labels_a, params_a = _parse_pauli_circuit(targ_a)
+    cliff_b, labels_b, params_b = _parse_pauli_circuit(targ_b)
+
+    enc_a = gym.get_state(cliff_a, rotations=labels_a,
+                          rotation_params=params_a)
+    # encoding B afterwards used to clobber A's remembered rotations
+    gym.get_state(cliff_b, rotations=labels_b, rotation_params=params_b)
+
+    import itertools
+
+    spec = gym.spec
+    sol = None
+    for L in (1, 2, 3):
+        for seq in itertools.product(range(spec.num_actions()), repeat=L):
+            spec.set_state(enc_a)
+            ok = True
+            for a in seq:
+                if spec.is_final():
+                    ok = False
+                    break
+                spec.step(a)
+            if ok and spec.success:
+                sol = gym.solution_from_trace(enc_a, list(seq),
+                                              [False] * len(seq))
+                break
+        if sol is not None:
+            break
+    assert sol is not None
+    out = gym.build_circuit_from_solution(sol, cliff_a)
+    angles = [p[0] for n, q, p in out.data if n in ("rx", "ry", "rz")]
+    assert angles and all(abs(abs(a) - 0.7) < 1e-9 for a in angles), angles
+
+    # explicit override wins over the memo
+    out2 = gym.build_circuit_from_solution(sol, cliff_a,
+                                           rotations=labels_a,
+                                           rotation_params=[0.2])
+    angles2 = [p[0] for n, q, p in out2.data if n in ("rx", "ry", "rz")]
+    assert angles2 and all(abs(abs(a) - 0.2) < 1e-9 for a in angles2)
+
+
 def test_lf_get_state_accepts_nested_lists():
     env = LinearFunctionGym.from_coupling_map(
         [(0, 1), (1, 0), (1, 2), (2, 1)])

@@ -1,0 +1,50 @@
+"""JsonlLogger + end-of-learn run-state markers (utils/logging.py).
+
+The reference's observability is TensorBoard-only (reference
+rl/synthesis.py:129-132); here the torch-free JSONL writer is primary and
+must leave run directories self-describing — in particular a terminal note
+when a run ends in the entropy-collapsed state (docs/TRAINING.md)."""
+
+import json
+
+from qiskit_gym_tpu.utils.logging import (JsonlLogger, MultiWriter,
+                                          write_learn_end_note)
+
+
+def _read(path):
+    with open(path) as f:
+        return [json.loads(line) for line in f]
+
+
+def test_jsonl_logger_rows_and_note(tmp_path):
+    with JsonlLogger(str(tmp_path)) as log:
+        log.add_scalar("loss", 0.5, 1)
+        log.add_scalar("success_rate", 1.0, 1)
+        log.add_scalar("loss", 0.25, 2)  # new step flushes step 1
+        log.add_note("done", 2)
+    rows = _read(tmp_path / "metrics.jsonl")
+    assert rows[0] == {"step": 1, "loss": 0.5, "success_rate": 1.0}
+    assert rows[1] == {"step": 2, "loss": 0.25}  # flushed by add_note
+    assert rows[2] == {"step": 2, "note": "done"}
+
+
+def test_learn_end_note_collapsed_vs_healthy(tmp_path):
+    log = JsonlLogger(str(tmp_path))
+    # collapsed ending: zero success with a proven snapshot in hand
+    write_learn_end_note(MultiWriter(log), 10, difficulty=8,
+                         best_difficulty=7,
+                         last_metrics={"success_rate": 0.0},
+                         has_best_snapshot=True)
+    # healthy ending
+    write_learn_end_note(log, 20, difficulty=4, best_difficulty=4,
+                         last_metrics={"success_rate": 0.9},
+                         has_best_snapshot=True)
+    # writers without add_note (e.g. bare TensorBoard) are a no-op
+    write_learn_end_note(object(), 30, 1, 1, {}, False)
+    log.close()
+    rows = _read(tmp_path / "metrics.jsonl")
+    assert len(rows) == 2
+    assert "entropy-collapse" in rows[0]["note"]
+    assert "best=True snapshot @ difficulty 7" in rows[0]["note"]
+    assert "entropy-collapse" not in rows[1]["note"]
+    assert "best_difficulty=4" in rows[1]["note"]

@@ -73,6 +73,24 @@ def test_graft_rejects_non_subset_and_mismatch():
                           src_env.gateset[:-1], src_env.gateset[:-1])
 
 
+def test_graft_rejects_trunk_shape_mismatch():
+    """Same module names but different layer widths must fail loudly at
+    graft time (not later as an opaque flax apply() shape error)."""
+    import jax
+
+    src_env = CliffordGym.from_coupling_map(LINE_3, basis_gates=("H", "CX"))
+    dst_env = CliffordGym.from_coupling_map(LINE_3)
+    _, src_params = _policy_and_params(src_env, 0)
+    wide = make_policy(
+        "twisterl.nn.BasicPolicy", dst_env.obs_shape(),
+        dst_env.num_actions(),
+        BasicPolicyConfig(embedding_size=64, common_layers=[16]).to_json())
+    dst_params = wide.init(jax.random.PRNGKey(1))
+    with pytest.raises(ValueError, match="shape mismatch grafting"):
+        graft_action_head(dst_params, src_params,
+                          src_env.gateset, dst_env.gateset)
+
+
 def test_conv1d_convolves_documented_axis():
     """Conv1dPolicy must convolve obs axis `conv_dim` (flax Conv is
     channels-last, so the swap condition is load-bearing). Anchor: the
