@@ -25,7 +25,7 @@ def _progress(name, rows):
 
 
 def eval_artifact(name, difficulties, num_episodes=256, num_searches=10,
-                  mcts: int = 0):
+                  mcts: int = 0, deterministic: bool = False):
     rls = RLSynthesis.from_config_json(f"examples/models/{name}.json",
                                        f"examples/models/{name}.pt")
     algo = rls.algorithm
@@ -41,9 +41,15 @@ def eval_artifact(name, difficulties, num_episodes=256, num_searches=10,
         if mcts > 0:
             from qiskit_gym_tpu.rl.az import collect_mcts
 
+            # deterministic=True is EVAL mode (argmax visit counts), matching
+            # the artifacts' own mcts_100 gate and reference EvalConfig
+            # semantics; the default visit-SAMPLING mode is self-play
+            # exploration and under-reports solve rates on short horizons
+            # (measured: az_perm_grid_3x3 d4 0.59 sampled vs 1.00 argmax)
             final, _ = jax.jit(lambda s, k: collect_mcts(
                 core, algo.policy.apply, algo.params, s, k, T,
-                num_sims=mcts, c_puct=1.41))(state, k_roll)
+                num_sims=mcts, c_puct=1.41,
+                deterministic=deterministic))(state, k_roll)
         else:
             final, _ = jax.jit(lambda s, k: collect(
                 core, algo.policy.apply, algo.params, s, k, T))(state, k_roll)
@@ -129,20 +135,27 @@ def main():
         "pauli_12_line", [4, 8, 16, 24], num_episodes=128)
     report["pauli_heavy_hex_27q (PPO, 10 searches)"] = eval_artifact(
         "pauli_heavy_hex_27q", [4, 8, 14], num_episodes=128)
-    report["az_pauli_18_line (MCTS-64, 1 search)"] = eval_artifact(
-        "az_pauli_18_line", [4, 6], num_episodes=64, num_searches=1, mcts=64)
-    report["az_perm_grid_3x3 (MCTS-64, 2 searches)"] = eval_artifact(
-        "az_perm_grid_3x3", [4, 8, 16], num_episodes=64, num_searches=2,
-        mcts=64)
-    report["az_perm_heavy_hex_27q (MCTS-96, 1 search)"] = eval_artifact(
+    report["az_pauli_18_line (MCTS-64, argmax)"] = eval_artifact(
+        "az_pauli_18_line", [4, 6], num_episodes=64, num_searches=1, mcts=64,
+        deterministic=True)
+    report["az_perm_grid_3x3 (MCTS-64, argmax)"] = eval_artifact(
+        "az_perm_grid_3x3", [4, 8, 16], num_episodes=64, num_searches=1,
+        mcts=64, deterministic=True)
+    report["az_perm_heavy_hex_27q (MCTS-96, argmax)"] = eval_artifact(
         "az_perm_heavy_hex_27q", [4, 8], num_episodes=64, num_searches=1,
-        mcts=96)
-    report["az_clifford_heavy_hex_27q (MCTS-48, 1 search)"] = eval_artifact(
+        mcts=96, deterministic=True)
+    report["az_clifford_heavy_hex_27q (MCTS-48, argmax)"] = eval_artifact(
         "az_clifford_heavy_hex_27q", [8, 16, 32], num_episodes=64,
-        num_searches=1, mcts=48)
-    report["az_pauli_heavy_hex_27q_full (MCTS-96, 1 search)"] = eval_artifact(
+        num_searches=1, mcts=48, deterministic=True)
+    report["az_pauli_heavy_hex_27q (MCTS-96, argmax)"] = eval_artifact(
+        "az_pauli_heavy_hex_27q", [4, 8, 16], num_episodes=64,
+        num_searches=1, mcts=96, deterministic=True)
+    report["az_pauli_heavy_hex_27q_dense (MCTS-96, argmax)"] = eval_artifact(
+        "az_pauli_heavy_hex_27q_dense", [4, 8, 16], num_episodes=64,
+        num_searches=1, mcts=96, deterministic=True)
+    report["az_pauli_heavy_hex_27q_full (MCTS-96, argmax)"] = eval_artifact(
         "az_pauli_heavy_hex_27q_full", [4, 6, 8], num_episodes=64,
-        num_searches=1, mcts=96)
+        num_searches=1, mcts=96, deterministic=True)
 
     # ---- user-facing synth() round-trips on random in-gateset circuits
     from qiskit_gym_tpu.quantum import (Clifford, allclose_up_to_global_phase,
