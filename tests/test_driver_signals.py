@@ -57,6 +57,28 @@ def test_relay_probe_diagnoses_closed_port(monkeypatch):
     assert g._relay_dead_reason() is None
 
 
+def test_entry_falls_back_to_cpu_when_relay_dead():
+    """entry() with a dead axon relay must not raise or hang: it flips the
+    process to JAX_PLATFORMS=cpu (before backend init) and the returned
+    step still compiles and runs."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"
+    env["PYTHONPATH"] = REPO
+    # deterministically-dead relay: never touches a live TPU (one-client
+    # rule) and exercises the fallback on every run
+    env["QGT_RELAY_PORT"] = str(_closed_port())
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax, __graft_entry__ as g; fn, args = g.entry(); "
+         "out = jax.jit(fn)(*args); jax.block_until_ready(out); "
+         "print('entry-ok', out[0].shape)"],
+        cwd=REPO, env=env, timeout=420, capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "entry-ok" in out.stdout
+    assert "falling back to JAX_PLATFORMS=cpu" in out.stderr
+
+
 def test_scrubbed_cpu_env_drops_axon_plugin():
     import __graft_entry__ as g
 
