@@ -11,8 +11,9 @@ the spec twin is spec/pauli_env.py). Fixed-shape design:
   uses the same kernel with per-primitive term tables.
 - Rotations: BITPACKED (x, z) bits uint32 [B, R, Wn] (qubits packed
   32-per-word along the last axis) + phase mod 4 [B, R], evolved through the
-  action's primitive sequence (<= 9 H/S/CNOT slots; composite gates like
-  SXdg = (HSH)^3 expand exactly as the reference applies them), because phase
+  action's primitive sequence (<= 3 H/S/Sdg/CNOT slots; Sdg = S^3 is fused
+  into one primitive — exact, so SXdg = (HSH)^3 = H Sdg H — the final state
+  matches the reference's gate-level application bit for bit), because phase
   updates read intermediate bit values. Each primitive touches one or two
   qubit BITS, so the whole update is single-bit mask XORs on packed words.
   The hot loop itself runs B-MINOR ([R, Wn, B] / [R, B], envs on the
@@ -57,9 +58,10 @@ from .matrix_env import (MatrixEnvCore, _pad_dim, gf2_factor,
                          unpack_rows)
 from .tables import MT_1Q, MT_CX, MT_CZ, MT_SWAP, MetricsTables
 
-# primitive op codes
-P_NOP, P_H, P_S, P_CNOT = 0, 1, 2, 3
-MAX_PRIMS = 9  # SXdg = (H S H)^3
+# primitive op codes (P_SDG = S^3 fused into one slot: z ^= x, ph += 3x —
+# exact, since S^3 = Sdg as a unitary and H^2 = I makes (H S H)^3 = H S^3 H)
+P_NOP, P_H, P_S, P_CNOT, P_SDG = 0, 1, 2, 3, 4
+MAX_PRIMS = 3  # SX = H S H, SXdg = H Sdg H, SWAP = 3 CNOTs, CZ = H CX H
 
 
 def pack_bits_lastdim(bits, W: int):
@@ -93,11 +95,11 @@ def _primitive_sequence(gate) -> list:
     if name == "S":
         return [(P_S, qs[0], 0)]
     if name == "Sdg":
-        return [(P_S, qs[0], 0)] * 3
+        return [(P_SDG, qs[0], 0)]
     if name == "SX":
         return [(P_H, qs[0], 0), (P_S, qs[0], 0), (P_H, qs[0], 0)]
     if name == "SXdg":
-        return [(P_H, qs[0], 0), (P_S, qs[0], 0), (P_H, qs[0], 0)] * 3
+        return [(P_H, qs[0], 0), (P_SDG, qs[0], 0), (P_H, qs[0], 0)]
     if name == "CX":
         return [(P_CNOT, qs[0], qs[1])]
     if name == "CZ":
@@ -115,7 +117,7 @@ def _network_gate_matrix(gate, n: int, D2: int) -> np.ndarray:
     for ptype, a, b in _primitive_sequence(gate):
         if ptype == P_H:
             G[[a, n + a]] = G[[n + a, a]]
-        elif ptype == P_S:
+        elif ptype in (P_S, P_SDG):   # same GF(2) linear part: z ^= x
             G[n + a] ^= G[a]
         elif ptype == P_CNOT:
             G[a] ^= G[b]
@@ -429,6 +431,7 @@ class PauliEnvCore:
             mask_b = self._bit_mask_t(p2[:, k])[None]
             is_h = (c == P_H)[None, :]                     # [1, B]
             is_s = (c == P_S)[None, :]
+            is_sdg = (c == P_SDG)[None, :]
             is_cx = (c == P_CNOT)[None, :]
 
             xa = jnp.any((rx & mask_a) != 0, axis=1)       # bool [R, B]
@@ -437,17 +440,19 @@ class PauliEnvCore:
 
             # H(a): swap x_a <-> z_a == both ^= (x_a ^ z_a); ph += 2 x_a z_a
             # S(a): z_a ^= x_a ; ph += x_a
+            # Sdg(a) = S(a)^3: z_a ^= x_a ; ph += 3 x_a (x untouched by S)
             # CNOT(a,b) == evolve_cx(ctrl=b, trgt=a): x_a ^= x_b ; z_b ^= z_a
             d = xa ^ za
             dx_a = jnp.where(is_h, d, is_cx & xb)          # bool [R, B]
-            dz_a = jnp.where(is_h, d, is_s & xa)
+            dz_a = jnp.where(is_h, d, (is_s | is_sdg) & xa)
             dz_b = is_cx & za
 
             rx = rx ^ jnp.where(dx_a[:, None, :], mask_a, jnp.uint32(0))
             rz = (rz ^ jnp.where(dz_a[:, None, :], mask_a, jnp.uint32(0))
                      ^ jnp.where(dz_b[:, None, :], mask_b, jnp.uint32(0)))
+            xai = xa.astype(jnp.int32)
             dph = jnp.where(is_h, 2 * (xa & za).astype(jnp.int32),
-                  jnp.where(is_s, xa.astype(jnp.int32), 0))
+                  jnp.where(is_s, xai, jnp.where(is_sdg, 3 * xai, 0)))
             ph = (ph + dph) % 4
 
             if with_cleanup:
@@ -464,7 +469,7 @@ class PauliEnvCore:
                  state.active.T, removed0)
         # two masked fori phases (a fori compiles leaner than a full static
         # unroll — measured on v5e): CNOT-capable slots run the trivial
-        # sweep; tail slots (e.g. SXdg's trailing H/S primitives) never
+        # sweep; tail slots (e.g. SXdg's trailing H primitive) never
         # contain a CNOT across the gateset, so theirs is dead code
         n_cx_slots = (max(self.cleanup_slots) + 1) if self.cleanup_slots else 0
         if self.cleanup_slots and self.cleanup_slots != list(

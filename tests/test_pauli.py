@@ -394,3 +394,17 @@ def test_noop_action_survives_translation():
     noop = jnp.full(4, core.noop_action, jnp.int32)
     out = np.asarray(core.translate_action(state, noop))
     assert (out == core.noop_action).all()
+
+
+def test_primitive_depth_specializes_per_gateset():
+    """The fused Sdg primitive keeps every gate at <= 3 slots (SXdg was 9
+    as (HSH)^3), and restricted gatesets shrink the masked primitive loop
+    further — the rotation loop's per-step cost scales with max_prims."""
+    full = make_gym(3).core
+    assert full.max_prims == 3                      # SXdg = H Sdg H
+    assert full.cleanup_slots == [0, 1, 2]          # SWAP's three CNOTs
+    dense = PauliGym.from_coupling_map(
+        LINE_3, basis_gates=("H", "S", "Sdg", "CX"), max_depth=24,
+        max_rotations=4).core
+    assert dense.max_prims == 1                     # Sdg fused to one slot
+    assert dense.cleanup_slots == [0]
