@@ -14,32 +14,22 @@ Per-family numbers go to stderr.
 
 import json
 import os
-import socket
 import sys
 import time
 
+# fail fast (one actionable line) when jax is configured for the axon TPU
+# relay but its port is closed — backend init would otherwise hang forever.
+# The probe lives in __graft_entry__ (single source of truth; honors
+# QGT_RELAY_PORT). As a script: exit 1. As an import: raise a catchable
+# RuntimeError rather than SystemExit'ing the host process.
+from __graft_entry__ import _relay_dead_reason
 
-def _fail_fast_if_relay_dead():
-    """If jax is configured for the axon TPU relay but its port is closed,
-    print ONE actionable line and exit 1 instead of hanging forever in
-    backend init (the axon plugin retries a dead port indefinitely)."""
-    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
-        return
-    port = int(os.environ.get("QGT_RELAY_PORT", "8082"))
-    try:
-        with socket.create_connection(("127.0.0.1", port), timeout=5):
-            return
-    except OSError as e:
-        print(
-            f"bench.py: TPU relay DEAD — no listener on 127.0.0.1:{port} "
-            f"({e.__class__.__name__}); skipping (jax init would hang). "
-            "Restart the relay, then re-run; see docs/BACKLOG.md runbook.",
-            file=sys.stderr,
-        )
+_dead = _relay_dead_reason()
+if _dead:
+    print(f"bench.py: {_dead}", file=sys.stderr)
+    if __name__ == "__main__":
         sys.exit(1)
-
-
-_fail_fast_if_relay_dead()
+    raise RuntimeError(_dead)
 
 import numpy as np  # noqa: E402
 

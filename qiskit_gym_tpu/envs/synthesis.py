@@ -451,14 +451,22 @@ class PauliGym(BaseSynthesisEnv):
                     "identity rotation is a global phase; drop it from the "
                     "target)")
         self._rotations = rotations
+        if rotations:
+            self._ever_rotations = True
         tableau = (
             clifford_for_state.tableau[:, :-1].T.flatten().astype(int).tolist()
         )
         # remember this target's rotations/angles keyed on its tableau so
-        # reconstruction stays correct when targets are encoded interleaved
+        # reconstruction stays correct when targets are encoded interleaved.
+        # Distinct rotation sets CAN share a tableau (e.g. rotation-only
+        # targets all have the identity Clifford part), so the memo keeps
+        # every distinct (rotations, params) seen per key — the rebuild
+        # raises on ambiguity instead of silently picking one.
         key = tuple(tableau)
-        self._rotation_memo[key] = (list(rotations),
-                                    list(self._rotation_params))
+        entry = (list(rotations), list(self._rotation_params))
+        bucket = self._rotation_memo.setdefault(key, [])
+        if entry not in bucket:
+            bucket.append(entry)
         self._rotation_memo.move_to_end(key)
         while len(self._rotation_memo) > 128:
             self._rotation_memo.popitem(last=False)
@@ -514,15 +522,27 @@ class PauliGym(BaseSynthesisEnv):
         rots, params = rotations, rotation_params
         inp = _maybe_from_qiskit(input)
         if not isinstance(inp, Circuit) and (rots is None or params is None):
-            memo = self._rotation_memo.get(self._target_key(inp))
-            if memo is not None:
-                rots = memo[0] if rots is None else rots
-                params = memo[1] if params is None else params
-            else:  # fall back to the most recent encoding (legacy behavior)
-                rots = list(getattr(self, "_rotations", [])) \
-                    if rots is None else rots
-                params = list(self._rotation_params) if params is None \
-                    else params
+            bucket = self._rotation_memo.get(self._target_key(inp), [])
+            if len(bucket) == 1:
+                rots = bucket[0][0] if rots is None else rots
+                params = bucket[0][1] if params is None else params
+            elif len(bucket) > 1:
+                raise ValueError(
+                    "multiple targets with this Clifford part but different "
+                    "rotations were encoded (e.g. rotation-only targets all "
+                    "share the identity tableau) — pass rotations= and "
+                    "rotation_params= explicitly to disambiguate")
+            elif getattr(self, "_ever_rotations", False):
+                # memo miss on an env that HAS encoded rotations: the old
+                # fallback (most recent encoding) silently rebuilt with the
+                # wrong rotations — fail loudly instead
+                raise ValueError(
+                    "no remembered rotations for this target (encoded on a "
+                    "different env instance, or evicted past the 128-target "
+                    "memo) — pass rotations= and rotation_params= explicitly")
+            else:  # rotation-free env: nothing to restore
+                rots = [] if rots is None else rots
+                params = [] if params is None else params
         enc = self.get_state(inp, rotations=rots or None,
                              rotation_params=params or None)
         tableau, labels = self._parse_encoded(enc, num_qubits)

@@ -70,17 +70,32 @@ def graft_action_head(dst_params: dict, src_params: dict,
         if name not in dst:
             raise ValueError(f"param module {name!r} missing from "
                              "destination policy (different architecture?)")
-        for leaf, v in src[name].items():
-            have = tuple(np.shape(dst[name].get(leaf, ())))
-            want = tuple(np.shape(v))
+        # full-tree shape comparison: np.shape(dict) is () on BOTH sides,
+        # so a one-level leaf check is vacuous for nested submodules —
+        # recurse to every array leaf instead
+        def _check_shapes(s, d, path):
+            if isinstance(s, dict) or isinstance(d, dict):
+                s_keys = set(s) if isinstance(s, dict) else None
+                d_keys = set(d) if isinstance(d, dict) else None
+                if s_keys != d_keys:
+                    raise ValueError(
+                        f"structure mismatch grafting {path}: source keys "
+                        f"{s_keys} vs destination {d_keys} "
+                        "(different architecture?)")
+                for k in s:
+                    _check_shapes(s[k], d[k], f"{path}/{k}")
+                return
+            have, want = tuple(np.shape(d)), tuple(np.shape(s))
             if have != want:
                 # same module names but different widths / obs shape would
                 # otherwise surface later as an opaque apply() shape error
                 # or a silently wrong-shaped saved checkpoint
                 raise ValueError(
-                    f"shape mismatch grafting module {name!r} leaf "
-                    f"{leaf!r}: source {want} vs destination {have} "
-                    "(different obs shape or layer widths?)")
+                    f"shape mismatch grafting {path}: source {want} vs "
+                    f"destination {have} (different obs shape or layer "
+                    "widths?)")
+
+        _check_shapes(src[name], dst[name], name)
         dst[name] = src[name]
 
     k_src = np.asarray(src["action_out"]["kernel"])

@@ -491,7 +491,8 @@ class AZ:
 
         write_learn_end_note(self.tb_writer, self.iteration, difficulty,
                              self.best_difficulty, metrics,
-                             self.best_params is not None)
+                             self.best_params is not None,
+                             run_path=self.run_path)
 
     def save_training_state(self, path: str) -> None:
         from .checkpoint import save_training_state

@@ -339,7 +339,8 @@ class PPO:
 
         write_learn_end_note(self.tb_writer, self.iteration, difficulty,
                              self.best_difficulty, metrics,
-                             self.best_params is not None)
+                             self.best_params is not None,
+                             run_path=self.run_path)
 
     def _checkpoint(self):
         import os

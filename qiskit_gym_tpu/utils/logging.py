@@ -67,22 +67,39 @@ class JsonlLogger:
 
 def write_learn_end_note(writer, step: int, difficulty: int,
                          best_difficulty: int, last_metrics: dict,
-                         has_best_snapshot: bool) -> None:
+                         has_best_snapshot: bool,
+                         run_path: Optional[str] = None) -> None:
     """Terminal run-state marker so a run directory is self-describing.
 
     A training run that walked into a zero-success regime ends with live
     params destroyed by the entropy bonus (docs/TRAINING.md 'entropy-collapse
     wall') while the proven snapshot is fine — without a marker, the final
-    metrics rows read as a failed run."""
-    if writer is None or not hasattr(writer, "add_note"):
-        return
+    metrics rows read as a failed run.
+
+    Training drivers call learn() in small chunks inside a while loop, so
+    when `run_path` is given the marker OVERWRITES one run_summary.json
+    (always the current end state) instead of appending a note per learn()
+    call to metrics.jsonl; the jsonl note is the fallback for writer-only
+    callers."""
     note = (f"learn() ended at difficulty {difficulty}; proven "
             f"best_difficulty={best_difficulty}")
-    if last_metrics.get("success_rate", 1.0) == 0.0 and has_best_snapshot:
+    collapsed = (last_metrics.get("success_rate", 1.0) == 0.0
+                 and has_best_snapshot)
+    if collapsed:
         note += ("; final iteration had zero collection success "
                  "(entropy-collapse wall, docs/TRAINING.md) — ship the "
                  f"best=True snapshot @ difficulty {best_difficulty}, "
                  "not the live params")
+    if run_path is not None:
+        os.makedirs(run_path, exist_ok=True)
+        with open(os.path.join(run_path, "run_summary.json"), "w") as f:
+            json.dump({"step": int(step), "difficulty": int(difficulty),
+                       "best_difficulty": int(best_difficulty),
+                       "collapsed_at_end": bool(collapsed),
+                       "note": note}, f, indent=1)
+        return
+    if writer is None or not hasattr(writer, "add_note"):
+        return
     writer.add_note(note, step)
 
 

@@ -17,12 +17,15 @@ def timed(label: str = "", sink: Optional[list] = None):
     yield
     # ensure all queued work is done before reading the clock:
     # effects_barrier only waits on effectful tokens, so also block on a
-    # trivial transfer enqueued AFTER the block on EVERY local device —
-    # each device executes its queue in enqueue order, so this is an
-    # ordering barrier even for programs dispatched to a mesh
+    # trivial EXECUTION enqueued AFTER the block on EVERY local device —
+    # each device runs its compute queue in enqueue order, so this orders
+    # behind any program already dispatched to a mesh. (A device_put is a
+    # transfer, not an execution: it lands on a separate path and would NOT
+    # wait for in-flight programs.)
     jax.effects_barrier()
+    noop = jax.jit(lambda x: x + 0)
     jax.block_until_ready(
-        [jax.device_put(0, d) for d in jax.local_devices()]
+        [noop(jax.device_put(0, d)) for d in jax.local_devices()]
     )
     dt = time.perf_counter() - t0
     if sink is not None:

@@ -48,7 +48,7 @@ def test_relay_probe_diagnoses_closed_port(monkeypatch):
     import __graft_entry__ as g
 
     monkeypatch.setenv("JAX_PLATFORMS", "axon")
-    monkeypatch.setattr(g, "_RELAY_PORT", _closed_port())
+    monkeypatch.setenv("QGT_RELAY_PORT", str(_closed_port()))
     reason = g._relay_dead_reason()
     assert reason is not None and "relay is dead" in reason
 
@@ -119,5 +119,24 @@ def test_bench_fails_fast_when_relay_dead():
         cwd=REPO, env=env, timeout=60, capture_output=True, text=True,
     )
     assert out.returncode == 1
-    assert "TPU relay DEAD" in out.stderr
+    assert "relay is dead" in out.stderr
     assert "Traceback" not in out.stderr
+
+
+def test_bench_import_with_dead_relay_raises_catchable():
+    """Importing bench (e.g. for HEAVY_HEX_27) with a dead relay must raise
+    a RuntimeError the caller can catch — not SystemExit the process."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"
+    env["PYTHONPATH"] = REPO
+    env["QGT_RELAY_PORT"] = str(_closed_port())
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "try:\n"
+         "    import bench\n"
+         "except RuntimeError as e:\n"
+         "    print('caught:', e)\n"],
+        cwd=REPO, env=env, timeout=60, capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "caught:" in out.stdout and "relay is dead" in out.stdout

@@ -48,3 +48,22 @@ def test_learn_end_note_collapsed_vs_healthy(tmp_path):
     assert "best=True snapshot @ difficulty 7" in rows[0]["note"]
     assert "entropy-collapse" not in rows[1]["note"]
     assert "best_difficulty=4" in rows[1]["note"]
+
+
+def test_learn_end_note_run_path_overwrites_single_summary(tmp_path):
+    """Drivers call learn() in a while loop; with run_path the marker must
+    keep ONE current run_summary.json (overwrite), not spam metrics.jsonl
+    with a note per chunk."""
+    log = JsonlLogger(str(tmp_path))
+    for step, sr in ((10, 0.0), (20, 0.9)):   # mid-run dip, then recovery
+        write_learn_end_note(log, step, difficulty=8, best_difficulty=7,
+                             last_metrics={"success_rate": sr},
+                             has_best_snapshot=True,
+                             run_path=str(tmp_path))
+    log.close()
+    rows = _read(tmp_path / "metrics.jsonl")
+    assert all("note" not in r for r in rows)          # no jsonl spam
+    summary = json.load(open(tmp_path / "run_summary.json"))
+    assert summary["step"] == 20                       # latest state wins
+    assert summary["collapsed_at_end"] is False
+    assert "entropy-collapse" not in summary["note"]
