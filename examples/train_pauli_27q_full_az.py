@@ -64,9 +64,16 @@ def main():
     # scrambles) need ~11-13 moves, and the rotation sweeps land late —
     # argmaxing from move 8 starves exactly the tail the frontier needs to
     # explore
+    # diff_replay=4: measured at the difficulty-8 plateau that search depth
+    # is NOT the binding constraint (argmax solve 0.09 @ 96 sims vs only
+    # 0.19 @ 512 sims — priors-bound, docs/TRAINING.md "Curriculum replay"),
+    # so keep cheap 96-sim iterations and fix the batch composition instead:
+    # half the lanes replay difficulties d-4..d (the mastered onset regime),
+    # keeping dense positive signal while the frontier half probes.
     cfg = AlphaZeroConfig(num_episodes=512, num_mcts_searches=num_sims,
                           num_epochs=4, lr=3e-4,
-                          root_noise_eps=0.25, temperature_drop=12)
+                          root_noise_eps=0.25, temperature_drop=12,
+                          diff_replay=4)
 
     snap = "runs/az_pauli_27q_full/train_state.msgpack"
     if os.path.exists(snap):                   # resume the exact run state

@@ -696,7 +696,11 @@ class MatrixEnvCore:
             K = int(difficulty) if static_diff else self.scramble_cap
             acts = jax.random.randint(key, (B, max(K, 1)), 0, self.num_actions)
             if not static_diff:
-                mask = jnp.arange(K)[None, :] < jnp.asarray(difficulty)
+                # difficulty may be a scalar or a per-lane [B] vector
+                # (curriculum replay, rl/rollout.sample_difficulties)
+                d = jnp.asarray(difficulty, jnp.int32)
+                d = d[:, None] if d.ndim else d
+                mask = jnp.arange(K)[None, :] < d
                 acts = jnp.where(mask, acts, self.noop_action)
 
             def body(i, mats):

@@ -735,7 +735,11 @@ class PauliEnvCore:
             if len(self.valid_pairs) == 0:
                 idx = jnp.full_like(idx, noop)
             if not static_diff:
-                mask = jnp.arange(K)[None, :] < jnp.asarray(difficulty)
+                # difficulty may be a scalar or a per-lane [B] vector
+                # (curriculum replay, rl/rollout.sample_difficulties)
+                d = jnp.asarray(difficulty, jnp.int32)
+                d = d[:, None] if d.ndim else d
+                mask = jnp.arange(K)[None, :] < d
                 idx = jnp.where(mask, idx, noop)
             elif int(difficulty) == 0:
                 # spec parity: difficulty 0 resets to the identity tableau

@@ -132,7 +132,8 @@ def collect_mcts_packed(core, policy_apply, params, key, T: int, B: int,
                         pool_slots: int = 8, deterministic: bool = False,
                         temperature: float = 1.0, temperature_drop: int = 0,
                         noise_eps: float = 0.0, dirichlet_alpha: float = 0.3,
-                        max_expand_depth: int = 1, mesh=None):
+                        max_expand_depth: int = 1, mesh=None,
+                        diff_replay: int = 0):
     """Episode-packed MCTS self-play: lanes that finish are immediately
     refilled from a pool of pregenerated reset batches, so every scan step
     runs a useful MCTS decision (aligned collect_mcts freezes finished lanes
@@ -148,7 +149,7 @@ def collect_mcts_packed(core, policy_apply, params, key, T: int, B: int,
 
     k_pool, k_roll, k_slot, k_rot = jax.random.split(key, 4)
     pool, state0 = make_packed_pool(core, k_pool, B, pool_slots, difficulty,
-                                    mesh)
+                                    mesh, diff_replay=diff_replay)
 
     step_keys = jax.random.split(k_roll, 3 * T).reshape(T, 3)
     step_idx = jnp.arange(T, dtype=jnp.int32)
@@ -285,9 +286,15 @@ class AZ:
                     noise_eps=cfg.root_noise_eps,
                     dirichlet_alpha=cfg.dirichlet_alpha,
                     max_expand_depth=cfg.max_expand_depth, mesh=self.mesh,
+                    diff_replay=cfg.diff_replay,
                 )
             else:
-                state = self.core.reset(k_reset, B, difficulty)
+                from .rollout import sample_difficulties
+
+                k_diff, k_reset = jax.random.split(k_reset)
+                d_lanes = sample_difficulties(k_diff, B, difficulty,
+                                              cfg.diff_replay)
+                state = self.core.reset(k_reset, B, d_lanes)
                 if self.mesh is not None:
                     from qiskit_gym_tpu.parallel import shard_env_state
 

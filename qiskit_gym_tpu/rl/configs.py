@@ -126,6 +126,11 @@ class PPOConfig(_JsonMixin):
     # lanes. Off by default (aligned collection, reference semantics).
     episode_packing: bool = False
     pack_pool_slots: int = 8
+    # curriculum replay: mix lanes from the diff_replay most recent
+    # difficulties into every collection batch (half the lanes stay at the
+    # frontier) — keeps dense learning signal when frontier success is low
+    # (docs/TRAINING.md). 0 = off (reference semantics).
+    diff_replay: int = 0
     # training
     num_epochs: int = 10
     # gradient steps per epoch: 1 = one full-batch update (reference
@@ -159,6 +164,8 @@ class PPOConfig(_JsonMixin):
         if self.pack_pool_slots < 1 or self.num_minibatches < 1:
             raise ValueError(
                 "pack_pool_slots and num_minibatches must be >= 1")
+        if self.diff_replay < 0:
+            raise ValueError("diff_replay must be >= 0")
 
     def to_json(self) -> dict:
         self.validate()
@@ -179,7 +186,7 @@ class PPOConfig(_JsonMixin):
         }
         # packing/minibatch knobs are emitted only when changed, keeping
         # configs written with defaults byte-identical to the reference schema
-        for k in ("episode_packing", "pack_pool_slots"):
+        for k in ("episode_packing", "pack_pool_slots", "diff_replay"):
             if getattr(self, k) != getattr(type(self), k):
                 out["collecting"][k] = getattr(self, k)
         if self.num_minibatches != type(self).num_minibatches:
@@ -198,6 +205,7 @@ class PPOConfig(_JsonMixin):
             gamma=col.get("gamma", cls.gamma),
             episode_packing=col.get("episode_packing", cls.episode_packing),
             pack_pool_slots=col.get("pack_pool_slots", cls.pack_pool_slots),
+            diff_replay=col.get("diff_replay", cls.diff_replay),
             num_epochs=tr.get("num_epochs", cls.num_epochs),
             num_minibatches=tr.get("num_minibatches", cls.num_minibatches),
             vf_coef=tr.get("vf_coef", cls.vf_coef),
@@ -225,6 +233,8 @@ class AlphaZeroConfig(_JsonMixin):
     # lanes. Off by default (aligned collection, reference semantics).
     episode_packing: bool = False
     pack_pool_slots: int = 8
+    # curriculum replay (see PPOConfig.diff_replay); 0 = off
+    diff_replay: int = 0
     # self-play exploration (AZ conventions; defaults keep the legacy
     # no-noise behavior and are omitted from JSON when left at defaults)
     root_noise_eps: float = 0.0     # Dirichlet noise fraction at the root
@@ -262,6 +272,8 @@ class AlphaZeroConfig(_JsonMixin):
         if self.pack_pool_slots < 1 or self.num_minibatches < 1:
             raise ValueError(
                 "pack_pool_slots and num_minibatches must be >= 1")
+        if self.diff_replay < 0:
+            raise ValueError("diff_replay must be >= 0")
 
     def to_json(self) -> dict:
         self.validate()
@@ -278,7 +290,8 @@ class AlphaZeroConfig(_JsonMixin):
         # exploration/packing knobs are emitted only when changed, keeping
         # configs written with defaults byte-identical to the reference schema
         for k in ("root_noise_eps", "dirichlet_alpha", "temperature",
-                  "temperature_drop", "episode_packing", "pack_pool_slots"):
+                  "temperature_drop", "episode_packing", "pack_pool_slots",
+                  "diff_replay"):
             if getattr(self, k) != getattr(type(self), k):
                 out["collecting"][k] = getattr(self, k)
         if self.num_minibatches != type(self).num_minibatches:
@@ -302,6 +315,7 @@ class AlphaZeroConfig(_JsonMixin):
             temperature_drop=col.get("temperature_drop", cls.temperature_drop),
             episode_packing=col.get("episode_packing", cls.episode_packing),
             pack_pool_slots=col.get("pack_pool_slots", cls.pack_pool_slots),
+            diff_replay=col.get("diff_replay", cls.diff_replay),
             num_epochs=tr.get("num_epochs", cls.num_epochs),
             num_minibatches=tr.get("num_minibatches", cls.num_minibatches),
             algorithm_cls=data.get("algorithm_cls", cls.algorithm_cls),

@@ -143,12 +143,17 @@ class PPO:
                 final_state, traj, stats = collect_packed(
                     self.core, self.policy.apply, params, k_roll, T, B,
                     difficulty, pool_slots=cfg.pack_pool_slots,
-                    mesh=self.mesh,
+                    mesh=self.mesh, diff_replay=cfg.diff_replay,
                 )
                 adv, returns = gae(traj, cfg.gamma, cfg.gae_lambda,
                                    last_value=stats["last_value"])
             else:
-                state = self.core.reset(k_reset, B, difficulty)
+                from .rollout import sample_difficulties
+
+                k_diff, k_reset = jax.random.split(k_reset)
+                d_lanes = sample_difficulties(k_diff, B, difficulty,
+                                              cfg.diff_replay)
+                state = self.core.reset(k_reset, B, d_lanes)
                 if self.mesh is not None:
                     from qiskit_gym_tpu.parallel import shard_env_state
 

@@ -114,11 +114,42 @@ def collect(core, policy_apply, params, state, key, T: int,
     return final_state, traj
 
 
-def make_packed_pool(core, key, B, pool_slots, difficulty, mesh=None):
+def sample_difficulties(key, count, difficulty, diff_replay: int):
+    """Per-lane curriculum-replay difficulties.
+
+    With diff_replay == 0 the scalar passes through untouched (reference
+    semantics: every lane collects at the frontier). Otherwise half the
+    lanes stay at the frontier and the rest draw uniformly from
+    [max(1, difficulty - diff_replay), difficulty]: at a low-success
+    frontier most episodes carry no reward signal and the entropy bonus
+    erodes the policy faster than the rare successes reinforce it
+    (docs/TRAINING.md 'entropy-collapse wall') — replaying the
+    recently-mastered difficulties keeps dense learning signal in every
+    batch while the frontier half keeps probing. The env cores accept a
+    per-lane difficulty vector (their scramble masks broadcast), and each
+    lane's episode budget follows its own difficulty."""
+    if diff_replay <= 0:
+        return difficulty
+    d = jnp.asarray(difficulty, jnp.int32)
+    lo = jnp.maximum(d - int(diff_replay), 1)
+    off = jax.random.randint(key, (count,), 0, int(diff_replay) + 1)
+    mix = jnp.maximum(d - off, lo)
+    # interleaved split (even lanes frontier) so any contiguous sub-batch —
+    # e.g. each slot of the packed pool after its [slots, B] reshape — keeps
+    # the same frontier/replay ratio
+    keep = (jnp.arange(count) % 2) == 0
+    return jnp.where(keep, d, mix)
+
+
+def make_packed_pool(core, key, B, pool_slots, difficulty, mesh=None,
+                     diff_replay: int = 0):
     """Pregenerate `pool_slots` reset batches for packed collection:
     [slots, B, ...] pytree (lanes sharded over 'dp' when a mesh is given)
     plus the slot-0 batch as the initial live state. Shared by the PPO and
     AZ packed collectors — the refill semantics must stay in lockstep."""
+    k_diff, key = jax.random.split(key)
+    difficulty = sample_difficulties(
+        k_diff, B * pool_slots, difficulty, diff_replay)
     pool = core.reset(key, B * pool_slots, difficulty)
     pool = jax.tree.map(
         lambda x: x.reshape((pool_slots, B) + x.shape[1:]), pool
@@ -153,7 +184,8 @@ def packed_refill(pool, stepped, refresh, slot_t, rot_t):
 
 def collect_packed(core, policy_apply, params, key, T: int, B: int,
                    difficulty, pool_slots: int = 8,
-                   deterministic: bool = False, mesh=None):
+                   deterministic: bool = False, mesh=None,
+                   diff_replay: int = 0):
     """Episode-packed rollout: lanes that finish are immediately refilled
     with a fresh reset, so every scan step does useful work (aligned
     `collect` freezes finished lanes — up to ~2x wasted steps at high
@@ -178,7 +210,7 @@ def collect_packed(core, policy_apply, params, key, T: int, B: int,
     depth budget)."""
     k_pool, k_roll, k_slot, k_rot = jax.random.split(key, 4)
     pool, state0 = make_packed_pool(core, k_pool, B, pool_slots, difficulty,
-                                    mesh)
+                                    mesh, diff_replay=diff_replay)
 
     gumbel, flips, step_keys = _pregen_randomness(core, k_roll, T, B,
                                                   deterministic)
