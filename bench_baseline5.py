@@ -12,7 +12,14 @@ and the best solution is kept (reference EvalConfig semantics,
 configs.py:25-35). Reports solve rate, 2q (=SWAP) counts, and wall-clock
 per target; `--write` appends the rows to docs/QUALITY.md.
 
-Usage: python bench_baseline5.py [--write] [--quick]
+Usage: python bench_baseline5.py [--write] [--quick] [--targets N]
+       [--note TEXT]
+
+--write REPLACES an existing "BASELINE config #5" section in
+docs/QUALITY.md (appends if none). --targets overrides the per-difficulty
+target count (default 8; --quick = 3 targets at difficulty 16 only).
+--note adds a provenance line under the section header (e.g. the hardware
+the rows were measured on).
 """
 
 import os
@@ -28,6 +35,11 @@ from qiskit_gym_tpu.rl import RLSynthesis
 def main():
     quick = "--quick" in sys.argv
     num_targets = 3 if quick else 8
+    if "--targets" in sys.argv:
+        num_targets = int(sys.argv[sys.argv.index("--targets") + 1])
+    note = None
+    if "--note" in sys.argv:
+        note = sys.argv[sys.argv.index("--note") + 1]
     num_searches = 100
     num_mcts = 1000
 
@@ -71,9 +83,12 @@ def main():
     lines = ["", "## BASELINE config #5: 27q heavy-hex permutation, AZ synth",
              "with the reference defaults (num_searches=100 episode lanes,",
              "num_mcts_searches=1000 sims/decision, C=1.41) — verified",
-             "round-trips only. One TPU v5e chip.", "",
-             "| difficulty | verified solve rate | mean SWAPs | mean 2q "
-             "| seconds/target |", "|---|---|---|---|---|"]
+             "round-trips only."]
+    if note:
+        lines += ["", note]
+    lines += ["",
+              "| difficulty | verified solve rate | mean SWAPs | mean 2q "
+              "| seconds/target |", "|---|---|---|---|---|"]
     for r in rows:
         lines.append(f"| {r['difficulty']} | {r['solve_rate']:.2f} | "
                      f"{r['mean_swaps']:.1f} | {r['mean_2q']:.1f} | "
@@ -81,8 +96,18 @@ def main():
     out = "\n".join(lines) + "\n"
     print(out)
     if "--write" in sys.argv:
-        with open("docs/QUALITY.md", "a") as f:
-            f.write(out)
+        # replace an existing section (it is always the last one in the
+        # file) instead of appending a duplicate
+        marker = "\n## BASELINE config #5"
+        try:
+            with open("docs/QUALITY.md") as f:
+                prev = f.read()
+        except FileNotFoundError:
+            prev = ""
+        if marker in prev:
+            prev = prev[:prev.index(marker)]
+        with open("docs/QUALITY.md", "w") as f:
+            f.write(prev + out)
     os._exit(0)  # axon teardown otherwise hangs ~90 s
 
 
