@@ -67,3 +67,23 @@ def test_learn_end_note_run_path_overwrites_single_summary(tmp_path):
     assert summary["step"] == 20                       # latest state wins
     assert summary["collapsed_at_end"] is False
     assert "entropy-collapse" not in summary["note"]
+
+
+def test_learn_writes_run_summary(tmp_path):
+    """End-to-end: learn(tb_path=...) leaves a current run_summary.json in
+    the run dir (and no per-chunk note spam in metrics.jsonl)."""
+    from qiskit_gym_tpu.envs import PermutationGym
+    from qiskit_gym_tpu.rl import BasicPolicyConfig, PPOConfig, RLSynthesis
+
+    gym = PermutationGym.from_coupling_map([(0, 1), (1, 2)])
+    cfg = PPOConfig(num_episodes=8, num_epochs=1, evals={})
+    rls = RLSynthesis(gym, cfg, BasicPolicyConfig(
+        embedding_size=8, common_layers=[8], policy_layers=[8],
+        value_layers=[8]))
+    for _ in range(2):  # driver-style chunked learn() calls
+        rls.learn(initial_difficulty=1, num_iterations=1,
+                  tb_path=str(tmp_path))
+    summary = json.load(open(tmp_path / "run_summary.json"))
+    assert summary["step"] == 2
+    rows = _read(tmp_path / "metrics.jsonl")
+    assert rows and all("note" not in r for r in rows)
