@@ -70,10 +70,14 @@ def main():
     # so keep cheap 96-sim iterations and fix the batch composition instead:
     # half the lanes replay difficulties d-4..d (the mastered onset regime),
     # keeping dense positive signal while the frontier half probes.
+    # episode packing: with replay on, the shorter replayed episodes would
+    # freeze their lanes for up to half the horizon under aligned
+    # collection; packing refills them so every MCTS decision is useful.
     cfg = AlphaZeroConfig(num_episodes=512, num_mcts_searches=num_sims,
                           num_epochs=4, lr=3e-4,
                           root_noise_eps=0.25, temperature_drop=12,
-                          diff_replay=4)
+                          diff_replay=4, episode_packing=True,
+                          pack_pool_slots=4)
 
     snap = "runs/az_pauli_27q_full/train_state.msgpack"
     if os.path.exists(snap):                   # resume the exact run state
