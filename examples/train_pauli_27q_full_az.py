@@ -86,6 +86,21 @@ def main():
         print(f"resumed iter {rls.algorithm.iteration} "
               f"difficulty {rls.env.difficulty} (sims={num_sims})",
               flush=True)
+    elif os.path.exists(out_pt):
+        # no run state (runs/ is gitignored, lost across containers) but the
+        # shipped best snapshot exists: warm-start from it rather than
+        # re-grafting from the dense artifact — the snapshot already carries
+        # the difficulty-8 onset crossing (docs/QUALITY.md)
+        rls = RLSynthesis(env, cfg, BasicPolicyConfig())
+        rls.algorithm.params = load_params(out_pt)
+        # seed the best-snapshot defense with the warm-start itself so a
+        # plateaued/collapsed run can never overwrite the shipped artifact
+        # with something worse than what we started from
+        rls.algorithm.best_params = rls.algorithm.params
+        rls.algorithm.best_difficulty = 8
+        env.difficulty = 8
+        print("warm-started from shipped best snapshot @ difficulty 8",
+              flush=True)
     else:
         import json
         rls = RLSynthesis(env, cfg, BasicPolicyConfig())
