@@ -10,6 +10,7 @@ semantics are shared with PPO (reference configs rl/configs.py:300-508).
 
 from __future__ import annotations
 
+import os
 import time
 from types import SimpleNamespace
 from typing import Dict, NamedTuple, Optional
@@ -571,8 +572,12 @@ def mcts_solve(env, policy, params, state_encoded, num_searches: int,
     # Chunk the move scan on host: same semantics (move index only gates
     # the self-play temperature schedule, unused here), one compile,
     # early-exit once every lane is final.
-    CHUNK_MOVE_SIMS = 4096
-    t_chunk = min(T, max(1, CHUNK_MOVE_SIMS // max(num_mcts_searches, 1)))
+    # QGT_SOLVE_CHUNK_SIMS tunes the bound without code edits (relay
+    # watchdog thresholds vary across chips/containers; 1000-sim dispatches
+    # at 4 moves crashed a worker where 1-move dispatches ran fine, so the
+    # default keeps 1000-sim solves at 2 moves/dispatch)
+    chunk_move_sims = int(os.environ.get("QGT_SOLVE_CHUNK_SIMS", "2048"))
+    t_chunk = min(T, max(1, chunk_move_sims // max(num_mcts_searches, 1)))
     chunk_fn = cached_solve_jit(
         core, policy,
         ("mcts", t_chunk, num_mcts_searches, C, deterministic,
