@@ -1,0 +1,124 @@
+"""Demonstration bootstrap: constructive planner + behavior cloning.
+
+The planner must produce in-budget, verified solutions from the env's own
+reset distribution (rl/demos.py op-ledger construction), and fit_demos must
+actually teach a policy the demonstrated actions.
+"""
+
+import numpy as np
+import pytest
+
+from qiskit_gym_tpu.envs import PauliGym
+from qiskit_gym_tpu.rl.demos import (fit_demos, generate_demos, plan_episode,
+                                     shortest_path_tables)
+
+LINE_5 = [(i, i + 1) for i in range(4)]
+HEAVY_HEX_27 = [
+    (0, 1), (1, 2), (1, 4), (2, 3), (3, 5), (4, 7), (5, 8), (6, 7), (7, 10),
+    (8, 9), (8, 11), (10, 12), (11, 14), (12, 13), (12, 15), (13, 14),
+    (14, 16), (15, 18), (16, 19), (17, 18), (18, 21), (19, 20), (19, 22),
+    (21, 23), (22, 25), (23, 24), (24, 25), (25, 26),
+]
+
+
+def _both(edges):
+    return list(edges) + [(b, a) for a, b in edges]
+
+
+@pytest.fixture(scope="module")
+def line_env():
+    gym = PauliGym.from_coupling_map(
+        _both(LINE_5), basis_gates=("H", "S", "Sdg", "CX"),
+        max_rotations=4, pauli_diff_scale=4, depth_slope=4,
+    )
+    return gym.spec
+
+
+def test_shortest_path_tables():
+    dist, nxt = shortest_path_tables(4, [(0, 1), (1, 2), (2, 3)])
+    assert dist[0, 3] == 3 and nxt[0, 3] == 1 and nxt[1, 3] == 2
+    assert dist[2, 2] == 0
+
+
+@pytest.mark.parametrize("difficulty", [2, 8, 32])
+def test_planner_solves_line(line_env, difficulty):
+    line_env.rng = np.random.default_rng(difficulty)
+    budget = 4 * difficulty
+    for _ in range(10):
+        plan = plan_episode(line_env, difficulty)
+        assert plan is not None and len(plan) <= budget
+        for a in plan:
+            line_env.step(a)
+        assert line_env.success
+
+
+def test_planner_full_gateset_27q():
+    gym = PauliGym.from_coupling_map(
+        _both(HEAVY_HEX_27), max_rotations=5, pauli_diff_scale=4,
+        depth_slope=4, pauli_layer_reward=0.05,
+    )
+    env = gym.spec
+    assert env.num_actions() == 303
+    env.rng = np.random.default_rng(0)
+    for difficulty in (8, 12, 16):
+        for _ in range(5):
+            plan = plan_episode(env, difficulty)
+            assert plan is not None and len(plan) <= 4 * difficulty
+            for a in plan:
+                env.step(a)
+            assert env.success
+
+
+def test_generate_demos_yield_and_shapes(line_env):
+    line_env.rng = np.random.default_rng(3)
+    demos = generate_demos(line_env, [4, 8], 20)
+    # correct plans + correct symmetry-augmented replay => no failed episodes
+    # beyond over-budget plans; demand a 90% yield to catch silent perm bugs
+    assert demos["episodes"] == 40
+    assert demos["episodes"] / demos["attempts"] >= 0.9
+    N = demos["action"].shape[0]
+    bits = demos["obs_bits"]
+    assert demos["obs_packed"].shape == (N, -(-bits // 8))
+    assert demos["ret"].shape == (N,)
+    assert (demos["action"] >= 0).all()
+    assert (demos["action"] < line_env.num_actions()).all()
+    # every episode ends solved: the final reward lands in the return-to-go,
+    # so positive mass must dominate (success bonus ~1 vs tiny penalties)
+    assert demos["ret"].max() > 0.9
+
+
+def test_fit_demos_clones_the_labels(line_env):
+    import jax
+
+    from qiskit_gym_tpu.rl import AlphaZeroConfig, BasicPolicyConfig, RLSynthesis
+
+    gym = PauliGym.from_coupling_map(
+        _both(LINE_5), basis_gates=("H", "S", "Sdg", "CX"),
+        max_rotations=4, pauli_diff_scale=4, depth_slope=4,
+    )
+    rls = RLSynthesis(
+        gym,
+        AlphaZeroConfig(num_episodes=8, num_mcts_searches=4, lr=1e-3),
+        BasicPolicyConfig(embedding_size=64, common_layers=[32]),
+    )
+    algo = rls.algorithm
+    gym.spec.rng = np.random.default_rng(11)
+    demos = generate_demos(gym.spec, [2, 4], 40)
+    bits = demos["obs_bits"]
+    obs = np.unpackbits(demos["obs_packed"], axis=1)[:, :bits]
+
+    def accuracy(params):
+        logits, _ = algo.policy.apply(params, obs)
+        return float((np.argmax(np.asarray(logits), -1) ==
+                      demos["action"]).mean())
+
+    acc0 = accuracy(algo.params)
+    losses = []
+    for _ in range(6):
+        m = fit_demos(algo, demos, epochs=2, num_minibatches=8)
+        losses.append(m["loss"])
+    acc1 = accuracy(algo.params)
+    assert m["demo_steps"] == demos["action"].shape[0]
+    assert losses[-1] < losses[0]
+    assert acc1 > max(5 * acc0, 0.15), (acc0, acc1)
+    jax.block_until_ready(algo.params)
