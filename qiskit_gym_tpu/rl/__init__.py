@@ -10,8 +10,12 @@ from .configs import (
     POLICIES,
 )
 from .synthesis import RLSynthesis, gate_list_to_circuit
+from .demos import fit_demos, generate_demos, plan_episode
 
 __all__ = [
+    "fit_demos",
+    "generate_demos",
+    "plan_episode",
     "EvalConfig",
     "PPOConfig",
     "AlphaZeroConfig",

@@ -361,6 +361,28 @@ def generate_demos(
     }
 
 
+def _demo_epoch(algo, flat, N, nmb, mb, carry, ek):
+    """One BC epoch: shuffled minibatch scan through the AZ loss."""
+    import jax
+    import optax
+
+    params, opt_state = carry
+    idx = jax.random.permutation(ek, N)[: mb * nmb].reshape(nmb, mb)
+
+    def mb_step(c, ib):
+        params, opt_state = c
+        batch = jax.tree.map(lambda x: x[ib], flat)
+        (_, aux), grads = jax.value_and_grad(
+            algo._loss_flat, has_aux=True)(params, batch)
+        updates, opt_state = algo.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), aux
+
+    (params, opt_state), auxs = jax.lax.scan(mb_step, (params, opt_state),
+                                             idx)
+    return (params, opt_state), jax.tree.map(lambda v: v.mean(), auxs)
+
+
 def fit_demos(algo, demos: Dict[str, np.ndarray], epochs: int = 1,
               num_minibatches: int = 16, key=None) -> Dict[str, float]:
     """Behavior-clone `algo` (AZ or PPO-compatible: needs policy/tx/params/
@@ -391,26 +413,19 @@ def fit_demos(algo, demos: Dict[str, np.ndarray], epochs: int = 1,
     nmb = max(1, min(num_minibatches, N))
     mb = N // nmb
 
-    def epoch(carry, ek):
-        params, opt_state = carry
-        idx = jax.random.permutation(ek, N)[: mb * nmb].reshape(nmb, mb)
-
-        def mb_step(c, ib):
-            params, opt_state = c
-            batch = jax.tree.map(lambda x: x[ib], flat)
-            (_, aux), grads = jax.value_and_grad(
-                algo._loss_flat, has_aux=True)(params, batch)
-            updates, opt_state = algo.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), aux
-
-        (params, opt_state), auxs = jax.lax.scan(mb_step,
-                                                 (params, opt_state), idx)
-        return (params, opt_state), jax.tree.map(lambda v: v.mean(), auxs)
-
-    run = jax.jit(lambda p, o, ks: jax.lax.scan(epoch, (p, o), ks))
-    (params, opt_state), auxs = run(algo.params, algo.opt_state,
-                                    jax.random.split(key, epochs))
+    # cache the compiled program per shape signature: remote-relay compiles
+    # cost seconds and the BC loop calls this every iteration
+    cache = getattr(algo, "_demo_fit_cache", None)
+    if cache is None:
+        cache = algo._demo_fit_cache = {}
+    ck = (N, nmb, epochs, bits)
+    if ck not in cache:
+        cache[ck] = jax.jit(
+            lambda p, o, ks, fl: jax.lax.scan(
+                lambda c, ek: _demo_epoch(algo, fl, N, nmb, mb, c, ek),
+                (p, o), ks))
+    (params, opt_state), auxs = cache[ck](algo.params, algo.opt_state,
+                                          jax.random.split(key, epochs), flat)
     algo.params = jax.tree.map(lambda x: x, params)
     algo.opt_state = opt_state
     out = {k: float(v[-1]) for k, v in auxs.items()}
