@@ -268,6 +268,89 @@ def plan_episode(
     return actions
 
 
+# ------------------------------------------------------------- matrix envs
+def plan_episode_matrix(env, difficulty: Optional[int] = None):
+    """Demo plan for the matrix envs (Permutation / LinearFunction /
+    Clifford): scramble by recorded gateset actions, then return the
+    reversed sequence — every gate's phase-less GF(2) row-op is an
+    involution (H/SWAP row swaps; S/Sdg/SX/SXdg/CX/CZ XOR row-ops,
+    reference clifford.rs:84-133), so the reversal is a verified solution.
+    On return the env is reset and ready to replay."""
+    if difficulty is not None:
+        env.set_difficulty(difficulty)
+    acts = env.rng.integers(0, env.num_actions(), size=env.difficulty)
+    env.reset(scramble_actions=acts)
+    if env.success:
+        return []
+    plan = [int(a) for a in reversed(acts)]
+    return plan if len(plan) <= env.depth else None
+
+
+def generate_demos_matrix(
+    env,
+    difficulties: Sequence[int],
+    episodes_per_difficulty: int,
+    max_attempts_factor: int = 4,
+) -> Dict[str, np.ndarray]:
+    """generate_demos for the matrix envs. No symmetry handling is needed
+    (their policies apply twists by group averaging, not the env), and the
+    in-episode inversion coin-flip is pinned off so labels stay valid."""
+    obs_rows: List[np.ndarray] = []
+    act_rows: List[int] = []
+    rew_rows: List[float] = []
+    ep_ends: List[int] = []
+    episodes = attempts = 0
+    for difficulty in difficulties:
+        done = 0
+        budget = max_attempts_factor * episodes_per_difficulty
+        local = 0
+        while done < episodes_per_difficulty and local < budget:
+            local += 1
+            attempts += 1
+            plan = plan_episode_matrix(env, difficulty)
+            if plan is None or not plan:
+                continue
+            start = len(act_rows)
+            for a in plan:
+                if env.is_final():
+                    break  # solved early through a self-canceling prefix
+                obs_rows.append(
+                    np.packbits(env._dense_obs().reshape(-1) > 0))
+                act_rows.append(a)
+                env.step(a, invert=False)
+                rew_rows.append(env.reward())
+            if not env.success:
+                del obs_rows[start:], act_rows[start:], rew_rows[start:]
+                continue
+            ep_ends.append(len(act_rows))
+            done += 1
+            episodes += 1
+    return _pack_demo_rows(env, obs_rows, act_rows, rew_rows, ep_ends,
+                           episodes, attempts)
+
+
+def _pack_demo_rows(env, obs_rows, act_rows, rew_rows, ep_ends,
+                    episodes, attempts) -> Dict[str, np.ndarray]:
+    N = len(act_rows)
+    ret = np.zeros(N, np.float32)
+    start = 0
+    for end in ep_ends:
+        g = 0.0
+        for i in range(end - 1, start - 1, -1):
+            g += rew_rows[i]
+            ret[i] = g
+        start = end
+    return {
+        "obs_packed": np.stack(obs_rows) if obs_rows else
+        np.zeros((0, 0), np.uint8),
+        "obs_bits": int(np.prod(env.obs_shape())),
+        "action": np.asarray(act_rows, np.int32),
+        "ret": ret,
+        "episodes": episodes,
+        "attempts": attempts,
+    }
+
+
 # ----------------------------------------------------------------- recording
 def generate_demos(
     env: PauliSpecEnv,
@@ -340,25 +423,8 @@ def generate_demos(
             ep_ends.append(len(act_rows))
             done += 1
             episodes += 1
-
-    N = len(act_rows)
-    ret = np.zeros(N, np.float32)
-    start = 0
-    for end in ep_ends:
-        g = 0.0
-        for i in range(end - 1, start - 1, -1):
-            g += rew_rows[i]
-            ret[i] = g
-        start = end
-    return {
-        "obs_packed": np.stack(obs_rows) if obs_rows else
-        np.zeros((0, 0), np.uint8),
-        "obs_bits": int(np.prod(env.obs_shape())),
-        "action": np.asarray(act_rows, np.int32),
-        "ret": ret,
-        "episodes": episodes,
-        "attempts": attempts,
-    }
+    return _pack_demo_rows(env, obs_rows, act_rows, rew_rows, ep_ends,
+                           episodes, attempts)
 
 
 def _demo_epoch(algo, flat, N, nmb, mb, carry, ek):

@@ -87,6 +87,32 @@ def test_generate_demos_yield_and_shapes(line_env):
     assert demos["ret"].max() > 0.9
 
 
+def test_matrix_demos_permutation_and_clifford():
+    from qiskit_gym_tpu.envs import CliffordGym, PermutationGym
+    from qiskit_gym_tpu.rl.demos import generate_demos_matrix, \
+        plan_episode_matrix
+
+    grid = [(0, 1), (1, 2), (0, 3), (1, 4), (2, 5), (3, 4), (4, 5)]
+    perm_env = PermutationGym.from_coupling_map(_both(grid)).spec
+    cliff_env = CliffordGym.from_coupling_map(
+        _both(LINE_5[:2]), basis_gates=("H", "S", "CX")).spec
+    for env in (perm_env, cliff_env):
+        env.rng = np.random.default_rng(1)
+        for difficulty in (2, 6, 12):
+            for _ in range(5):
+                plan = plan_episode_matrix(env, difficulty)
+                assert plan is not None and len(plan) <= env.depth
+                for a in plan:
+                    if env.is_final():
+                        break
+                    env.step(a, invert=False)
+                assert env.success
+        demos = generate_demos_matrix(env, [2, 6], 10)
+        assert demos["episodes"] == 20
+        assert demos["ret"].max() > 0.9
+        assert demos["obs_bits"] == int(np.prod(env.obs_shape()))
+
+
 def test_fit_demos_clones_the_labels(line_env):
     import jax
 
