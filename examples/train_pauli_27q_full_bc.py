@@ -35,6 +35,7 @@ import numpy as np
 from qiskit_gym_tpu.envs import PauliGym
 from qiskit_gym_tpu.rl import (AlphaZeroConfig, BasicPolicyConfig,
                                RLSynthesis, fit_demos, generate_demos)
+from qiskit_gym_tpu.rl.demos import prepare_demos
 from qiskit_gym_tpu.utils.serialization import load_params
 
 MODELS = os.path.join(os.path.dirname(__file__), "models")
@@ -89,6 +90,7 @@ def main():
     print(f"demos: {demos['episodes']} episodes "
           f"{demos['action'].shape[0]} steps in {time.time() - t0:.0f}s",
           flush=True)
+    demos = prepare_demos(algo, demos)  # one device upload, reused all run
 
     # ------------------------------------------------------- phase 1: BC
     t0 = time.time()

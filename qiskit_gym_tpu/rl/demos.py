@@ -449,31 +449,46 @@ def _demo_epoch(algo, flat, N, nmb, mb, carry, ek):
     return (params, opt_state), jax.tree.map(lambda v: v.mean(), auxs)
 
 
+def prepare_demos(algo, demos: Dict[str, np.ndarray]) -> Dict[str, object]:
+    """Upload a generate_demos batch to the device once. fit_demos accepts
+    the result in place of the raw batch — re-uploading ~GB demo tensors
+    over a TPU relay on every fitting call would dominate the BC loop."""
+    import jax
+    import jax.numpy as jnp
+
+    N = int(demos["action"].shape[0])
+    bits = int(demos["obs_bits"])
+    obs = np.unpackbits(demos["obs_packed"], axis=1)[:, :bits]
+    A = algo.core.num_actions
+    return {
+        "obs": jnp.asarray(obs, jnp.uint8),
+        "visit_probs": jax.nn.one_hot(jnp.asarray(demos["action"]), A,
+                                      dtype=jnp.float32),
+        "valid": jnp.ones(N, bool),
+        "ret": jnp.asarray(demos["ret"]),
+        "obs_bits": bits,
+    }
+
+
 def fit_demos(algo, demos: Dict[str, np.ndarray], epochs: int = 1,
               num_minibatches: int = 16, key=None) -> Dict[str, float]:
     """Behavior-clone `algo` (AZ or PPO-compatible: needs policy/tx/params/
-    opt_state and the AZ `_loss_flat`) on a generate_demos batch.
+    opt_state and the AZ `_loss_flat`) on a generate_demos batch (raw, or
+    pre-uploaded via prepare_demos).
 
     Uses the AZ loss verbatim — one-hot demo actions as the visit target,
     undiscounted return-to-go as the value target — so cloning is the same
     optimization self-play fitting runs, and AZ resumes on the same Adam
     state without a loss-scale discontinuity."""
     import jax
-    import jax.numpy as jnp
-    import optax
 
-    N = int(demos["action"].shape[0])
+    if "obs" not in demos:
+        demos = prepare_demos(algo, demos)
+    flat = {k: demos[k] for k in ("obs", "visit_probs", "valid", "ret")}
+    N = int(flat["valid"].shape[0])
+    bits = int(demos["obs_bits"])
     if N == 0:
         return {"loss": float("nan"), "demo_steps": 0}
-    bits = int(demos["obs_bits"])
-    obs = np.unpackbits(demos["obs_packed"], axis=1)[:, :bits]
-    A = algo.core.num_actions
-    flat = {
-        "obs": jnp.asarray(obs, jnp.uint8),
-        "visit_probs": jax.nn.one_hot(jnp.asarray(demos["action"]), A),
-        "valid": jnp.ones(N, bool),
-        "ret": jnp.asarray(demos["ret"]),
-    }
     if key is None:
         algo.key, key = jax.random.split(algo.key)
     nmb = max(1, min(num_minibatches, N))

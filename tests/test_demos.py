@@ -138,10 +138,13 @@ def test_fit_demos_clones_the_labels(line_env):
         return float((np.argmax(np.asarray(logits), -1) ==
                       demos["action"]).mean())
 
+    from qiskit_gym_tpu.rl.demos import prepare_demos
+
     acc0 = accuracy(algo.params)
     losses = []
+    prepared = prepare_demos(algo, demos)  # exercise the one-upload path
     for _ in range(6):
-        m = fit_demos(algo, demos, epochs=2, num_minibatches=8)
+        m = fit_demos(algo, prepared, epochs=2, num_minibatches=8)
         losses.append(m["loss"])
     acc1 = accuracy(algo.params)
     assert m["demo_steps"] == demos["action"].shape[0]
