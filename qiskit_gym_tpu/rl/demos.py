@@ -427,17 +427,33 @@ def generate_demos(
                            episodes, attempts)
 
 
-def _demo_epoch(algo, flat, N, nmb, mb, carry, ek):
-    """One BC epoch: shuffled minibatch scan through the AZ loss."""
+def _demo_epoch(algo, flat, N, nmb, mb, bits, carry, ek):
+    """One BC epoch: shuffled minibatch scan through the AZ loss.
+
+    The corpus stays packed on device (uint8 bit-bytes + int32 actions) —
+    a ~36x HBM saving vs unpacked obs + one-hot targets on the 303-action
+    27q env — and each minibatch unpacks its own rows (a few VPU shift/mask
+    ops, fused by XLA into the embedding matmul's producer)."""
     import jax
+    import jax.numpy as jnp
     import optax
 
     params, opt_state = carry
     idx = jax.random.permutation(ek, N)[: mb * nmb].reshape(nmb, mb)
+    A = algo.core.num_actions
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # np.packbits: MSB first
 
     def mb_step(c, ib):
         params, opt_state = c
-        batch = jax.tree.map(lambda x: x[ib], flat)
+        pk = flat["obs_packed"][ib]                       # [mb, nbytes]
+        obs = ((pk[:, :, None] >> shifts) & 1).reshape(mb, -1)[:, :bits]
+        batch = {
+            "obs": obs,
+            "visit_probs": jax.nn.one_hot(flat["action"][ib], A,
+                                          dtype=jnp.float32),
+            "valid": jnp.ones(mb, bool),
+            "ret": flat["ret"][ib],
+        }
         (_, aux), grads = jax.value_and_grad(
             algo._loss_flat, has_aux=True)(params, batch)
         updates, opt_state = algo.tx.update(grads, opt_state, params)
@@ -450,23 +466,19 @@ def _demo_epoch(algo, flat, N, nmb, mb, carry, ek):
 
 
 def prepare_demos(algo, demos: Dict[str, np.ndarray]) -> Dict[str, object]:
-    """Upload a generate_demos batch to the device once. fit_demos accepts
-    the result in place of the raw batch — re-uploading ~GB demo tensors
-    over a TPU relay on every fitting call would dominate the BC loop."""
-    import jax
+    """Upload a generate_demos batch to the device once, in packed form
+    (obs bit-bytes, integer actions). fit_demos accepts the result in place
+    of the raw batch — re-uploading ~GB demo tensors over a TPU relay on
+    every fitting call would dominate the BC loop, and keeping the corpus
+    packed on device is what lets million-step corpora fit in HBM."""
     import jax.numpy as jnp
 
-    N = int(demos["action"].shape[0])
-    bits = int(demos["obs_bits"])
-    obs = np.unpackbits(demos["obs_packed"], axis=1)[:, :bits]
-    A = algo.core.num_actions
     return {
-        "obs": jnp.asarray(obs, jnp.uint8),
-        "visit_probs": jax.nn.one_hot(jnp.asarray(demos["action"]), A,
-                                      dtype=jnp.float32),
-        "valid": jnp.ones(N, bool),
-        "ret": jnp.asarray(demos["ret"]),
-        "obs_bits": bits,
+        "obs_packed": jnp.asarray(demos["obs_packed"], jnp.uint8),
+        "action": jnp.asarray(demos["action"], jnp.int32),
+        "ret": jnp.asarray(demos["ret"], jnp.float32),
+        "obs_bits": int(demos["obs_bits"]),
+        "prepared": True,
     }
 
 
@@ -482,10 +494,10 @@ def fit_demos(algo, demos: Dict[str, np.ndarray], epochs: int = 1,
     state without a loss-scale discontinuity."""
     import jax
 
-    if "obs" not in demos:
+    if not demos.get("prepared"):
         demos = prepare_demos(algo, demos)
-    flat = {k: demos[k] for k in ("obs", "visit_probs", "valid", "ret")}
-    N = int(flat["valid"].shape[0])
+    flat = {k: demos[k] for k in ("obs_packed", "action", "ret")}
+    N = int(flat["action"].shape[0])
     bits = int(demos["obs_bits"])
     if N == 0:
         return {"loss": float("nan"), "demo_steps": 0}
@@ -495,15 +507,20 @@ def fit_demos(algo, demos: Dict[str, np.ndarray], epochs: int = 1,
     mb = N // nmb
 
     # cache the compiled program per shape signature: remote-relay compiles
-    # cost seconds and the BC loop calls this every iteration
+    # cost seconds and the BC loop calls this every iteration. The jitted
+    # closure captures algo.tx (and its update rule), so the optimizer is
+    # part of the key — swapping algo.tx between fitting bursts (the BC ->
+    # AZ handoff) must recompile, not silently keep the old update rule.
+    # Keying on the GradientTransformation itself (a NamedTuple of
+    # functions, compared by identity) also pins it against GC/id reuse.
     cache = getattr(algo, "_demo_fit_cache", None)
     if cache is None:
         cache = algo._demo_fit_cache = {}
-    ck = (N, nmb, epochs, bits)
+    ck = (N, nmb, epochs, bits, algo.tx)
     if ck not in cache:
         cache[ck] = jax.jit(
             lambda p, o, ks, fl: jax.lax.scan(
-                lambda c, ek: _demo_epoch(algo, fl, N, nmb, mb, c, ek),
+                lambda c, ek: _demo_epoch(algo, fl, N, nmb, mb, bits, c, ek),
                 (p, o), ks))
     (params, opt_state), auxs = cache[ck](algo.params, algo.opt_state,
                                           jax.random.split(key, epochs), flat)

@@ -113,6 +113,41 @@ def test_matrix_demos_permutation_and_clifford():
         assert demos["obs_bits"] == int(np.prod(env.obs_shape()))
 
 
+def test_fit_demos_recompiles_on_optimizer_swap(line_env):
+    """Swapping algo.tx between fitting bursts must not reuse the compiled
+    program of the old optimizer (the cached closure captures algo.tx).
+    The swap keeps the SAME opt-state pytree structure (adam -> adam with a
+    new lr) so jit cannot save us by retracing on structure — only the
+    cache key can; a zero-lr Adam burst must leave params bit-identical."""
+    import jax
+    import optax
+
+    from qiskit_gym_tpu.rl import AlphaZeroConfig, BasicPolicyConfig, RLSynthesis
+
+    gym = PauliGym.from_coupling_map(
+        _both(LINE_5), basis_gates=("H", "S", "Sdg", "CX"),
+        max_rotations=4, pauli_diff_scale=4, depth_slope=4,
+    )
+    rls = RLSynthesis(
+        gym,
+        AlphaZeroConfig(num_episodes=8, num_mcts_searches=4, lr=1e-3),
+        BasicPolicyConfig(embedding_size=32, common_layers=[16]),
+    )
+    algo = rls.algorithm
+    gym.spec.rng = np.random.default_rng(7)
+    demos = generate_demos(gym.spec, [2], 10)
+
+    fit_demos(algo, demos, epochs=1, num_minibatches=4)  # warms the cache
+    algo.tx = optax.adam(0.0)
+    algo.opt_state = algo.tx.init(algo.params)
+    before = jax.tree.map(np.asarray, algo.params)
+    fit_demos(algo, demos, epochs=1, num_minibatches=4)  # same shapes
+    after = jax.tree.map(np.asarray, algo.params)
+    flat_b, _ = jax.tree.flatten(before)
+    flat_a, _ = jax.tree.flatten(after)
+    assert all(np.array_equal(b, a) for b, a in zip(flat_b, flat_a))
+
+
 def test_fit_demos_clones_the_labels(line_env):
     import jax
 
