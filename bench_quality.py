@@ -4,7 +4,16 @@ artifacts (BASELINE.json quality axis: "solve rate + 2q-gate count").
 
 For each artifact: reset E targets at each difficulty on device, run the
 configured solve, and report success rate + mean 2q-gate count of solutions.
-Prints a markdown table; writes docs/QUALITY.md when --write is passed.
+Every row carries a provenance column (measurement mode / hardware / round
+tag) so tables never mix measurement semantics silently.
+
+Usage: python bench_quality.py [--write] [--only SUBSTR] [--round TAG]
+       [--baseline5]
+
+--write rewrites docs/QUALITY.md (carrying over the BASELINE config #5
+section, which bench_baseline5.py --write owns). With --only, --write
+PATCHES matching rows of the existing tables in place instead (re-measure
+one artifact after retraining without touching the rest).
 """
 
 import sys
@@ -16,6 +25,11 @@ import jax.numpy as jnp
 
 from qiskit_gym_tpu.rl import RLSynthesis
 from qiskit_gym_tpu.rl.rollout import collect
+
+
+def _hw_tag():
+    plat = jax.devices()[0].platform
+    return {"axon": "TPU v5e", "tpu": "TPU v5e", "cpu": "CPU"}.get(plat, plat)
 
 
 def _progress(name, rows):
@@ -30,6 +44,13 @@ def eval_artifact(name, difficulties, num_episodes=256, num_searches=10,
                                        f"examples/models/{name}.pt")
     algo = rls.algorithm
     core = algo.core
+    if mcts > 0:
+        mode = (f"MCTS-{mcts} argmax" if deterministic
+                else f"MCTS-{mcts} sampled") + (
+            f" x{num_searches}" if num_searches > 1 else "")
+    else:
+        mode = ("argmax" if deterministic else "sampled") + (
+            f" best-of-{num_searches}" if num_searches > 1 else "")
     rows = []
     for diff in difficulties:
         T = min(core.depth_slope * diff, core.max_depth)
@@ -63,6 +84,7 @@ def eval_artifact(name, difficulties, num_episodes=256, num_searches=10,
             "difficulty": diff,
             "solve_rate": float(solved.mean()),
             "mean_2q": float(best.mean()) if solved.any() else float("nan"),
+            "mode": mode,
         })
     _progress(name, rows)
     return rows
@@ -93,6 +115,8 @@ def synth_quality(name, depths, num_targets=24, num_searches=32,
     decision — reference AZ synth semantics, rl/synthesis.py:112-126)."""
     rls = RLSynthesis.from_config_json(f"examples/models/{name}.json",
                                        f"examples/models/{name}.pt")
+    mode = (f"synth MCTS-{mcts}, {num_searches} lanes" if mcts > 0
+            else f"synth, {num_searches} lanes")
     rows = []
     for depth in depths:
         rng = np.random.default_rng(99 + depth)
@@ -111,51 +135,107 @@ def synth_quality(name, depths, num_targets=24, num_searches=32,
             "difficulty": depth,
             "solve_rate": ok / num_targets,
             "mean_2q": float(np.mean(cx)) if cx else float("nan"),
+            "mode": mode,
         })
     _progress(f"synth:{name}", rows)
     return rows
 
 
+def _patch_rows(path, table_rows):
+    """Replace the rows of the named artifacts in an existing QUALITY.md,
+    in place (same label = same measurement semantics). `table_rows` maps
+    artifact label -> list of formatted '| ... |' lines."""
+    with open(path) as f:
+        lines = f.read().splitlines(True)
+    for label, new_lines in table_rows.items():
+        prefix = f"| {label} |"
+        idxs = [i for i, ln in enumerate(lines) if ln.startswith(prefix)]
+        payload = [ln + "\n" for ln in new_lines]
+        if idxs:
+            first = idxs[0]
+            lines = [ln for i, ln in enumerate(lines)
+                     if not ln.startswith(prefix)]
+            lines[first:first] = payload
+        else:
+            # append after the last table row of the file's first table
+            last = max(i for i, ln in enumerate(lines)
+                       if ln.startswith("| "))
+            lines[last + 1:last + 1] = payload
+    with open(path, "w") as f:
+        f.write("".join(lines))
+
+
 def main():
     t0 = time.time()
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+    round_tag = "r4"
+    if "--round" in sys.argv:
+        round_tag = sys.argv[sys.argv.index("--round") + 1]
+    hw = _hw_tag()
+    prov = lambda mode: f"{mode} · {hw} · {round_tag}"  # noqa: E731
+
+    # ---- solve-rate table: artifacts driven at env-scrambled difficulties
+    eval_specs = {
+        "perm_grid_3x3 (PPO, 10 searches)": (
+            "perm_grid_3x3", dict(difficulties=[4, 8, 16, 24])),
+        "lf_5_line (PPO, 10 searches)": (
+            "lf_5_line", dict(difficulties=[4, 8, 16, 24])),
+        "clifford_3q_line (PPO, 10 searches)": (
+            "clifford_3q_line", dict(difficulties=[4, 8, 16, 24])),
+        "perm_heavy_hex_27q (PPO, 10 searches)": (
+            "perm_heavy_hex_27q",
+            dict(difficulties=[8, 16, 32], num_episodes=128)),
+        "clifford_heavy_hex_27q (PPO, 10 searches)": (
+            "clifford_heavy_hex_27q",
+            dict(difficulties=[8, 16, 24], num_episodes=128)),
+        "pauli_5_line (PPO, 10 searches)": (
+            "pauli_5_line",
+            dict(difficulties=[16, 32, 64, 128], num_episodes=128)),
+        "pauli_12_line (PPO, 10 searches)": (
+            "pauli_12_line", dict(difficulties=[4, 8, 16, 24],
+                                  num_episodes=128)),
+        "pauli_heavy_hex_27q (PPO, 10 searches)": (
+            "pauli_heavy_hex_27q", dict(difficulties=[4, 8, 14],
+                                        num_episodes=128)),
+        "az_pauli_18_line (MCTS-64, argmax)": (
+            "az_pauli_18_line", dict(difficulties=[4, 6], num_episodes=64,
+                                     num_searches=1, mcts=64,
+                                     deterministic=True)),
+        "az_perm_grid_3x3 (MCTS-64, argmax)": (
+            "az_perm_grid_3x3", dict(difficulties=[4, 8, 16],
+                                     num_episodes=64, num_searches=1,
+                                     mcts=64, deterministic=True)),
+        "az_perm_heavy_hex_27q (MCTS-96, argmax)": (
+            "az_perm_heavy_hex_27q", dict(difficulties=[4, 8],
+                                          num_episodes=64, num_searches=1,
+                                          mcts=96, deterministic=True)),
+        "az_clifford_heavy_hex_27q (MCTS-48, argmax)": (
+            "az_clifford_heavy_hex_27q", dict(difficulties=[8, 16, 32],
+                                              num_episodes=64,
+                                              num_searches=1, mcts=48,
+                                              deterministic=True)),
+        "az_pauli_heavy_hex_27q (MCTS-96, argmax)": (
+            "az_pauli_heavy_hex_27q", dict(difficulties=[4, 8, 16],
+                                           num_episodes=64, num_searches=1,
+                                           mcts=96, deterministic=True)),
+        "az_pauli_heavy_hex_27q_dense (MCTS-96, argmax)": (
+            "az_pauli_heavy_hex_27q_dense", dict(difficulties=[4, 8, 16],
+                                                 num_episodes=64,
+                                                 num_searches=1, mcts=96,
+                                                 deterministic=True)),
+        "az_pauli_heavy_hex_27q_full (MCTS-96, argmax)": (
+            "az_pauli_heavy_hex_27q_full", dict(difficulties=[4, 6, 8, 12],
+                                                num_episodes=64,
+                                                num_searches=1, mcts=96,
+                                                deterministic=True)),
+    }
     report = {}
-    report["perm_grid_3x3 (PPO, 10 searches)"] = eval_artifact(
-        "perm_grid_3x3", [4, 8, 16, 24])
-    report["lf_5_line (PPO, 10 searches)"] = eval_artifact(
-        "lf_5_line", [4, 8, 16, 24])
-    report["clifford_3q_line (PPO, 10 searches)"] = eval_artifact(
-        "clifford_3q_line", [4, 8, 16, 24])
-    report["perm_heavy_hex_27q (PPO, 10 searches)"] = eval_artifact(
-        "perm_heavy_hex_27q", [8, 16, 32], num_episodes=128)
-    report["clifford_heavy_hex_27q (PPO, 10 searches)"] = eval_artifact(
-        "clifford_heavy_hex_27q", [8, 16, 24], num_episodes=128)
-    report["pauli_5_line (PPO, 10 searches)"] = eval_artifact(
-        "pauli_5_line", [16, 32, 64, 128], num_episodes=128)
-    report["pauli_12_line (PPO, 10 searches)"] = eval_artifact(
-        "pauli_12_line", [4, 8, 16, 24], num_episodes=128)
-    report["pauli_heavy_hex_27q (PPO, 10 searches)"] = eval_artifact(
-        "pauli_heavy_hex_27q", [4, 8, 14], num_episodes=128)
-    report["az_pauli_18_line (MCTS-64, argmax)"] = eval_artifact(
-        "az_pauli_18_line", [4, 6], num_episodes=64, num_searches=1, mcts=64,
-        deterministic=True)
-    report["az_perm_grid_3x3 (MCTS-64, argmax)"] = eval_artifact(
-        "az_perm_grid_3x3", [4, 8, 16], num_episodes=64, num_searches=1,
-        mcts=64, deterministic=True)
-    report["az_perm_heavy_hex_27q (MCTS-96, argmax)"] = eval_artifact(
-        "az_perm_heavy_hex_27q", [4, 8], num_episodes=64, num_searches=1,
-        mcts=96, deterministic=True)
-    report["az_clifford_heavy_hex_27q (MCTS-48, argmax)"] = eval_artifact(
-        "az_clifford_heavy_hex_27q", [8, 16, 32], num_episodes=64,
-        num_searches=1, mcts=48, deterministic=True)
-    report["az_pauli_heavy_hex_27q (MCTS-96, argmax)"] = eval_artifact(
-        "az_pauli_heavy_hex_27q", [4, 8, 16], num_episodes=64,
-        num_searches=1, mcts=96, deterministic=True)
-    report["az_pauli_heavy_hex_27q_dense (MCTS-96, argmax)"] = eval_artifact(
-        "az_pauli_heavy_hex_27q_dense", [4, 8, 16], num_episodes=64,
-        num_searches=1, mcts=96, deterministic=True)
-    report["az_pauli_heavy_hex_27q_full (MCTS-96, argmax)"] = eval_artifact(
-        "az_pauli_heavy_hex_27q_full", [4, 6, 8], num_episodes=64,
-        num_searches=1, mcts=96, deterministic=True)
+    for label, (name, kw) in eval_specs.items():
+        if only and only not in name:
+            continue
+        report[label] = eval_artifact(name, **kw)
 
     # ---- user-facing synth() round-trips on random in-gateset circuits
     from qiskit_gym_tpu.quantum import (Clifford, allclose_up_to_global_phase,
@@ -191,77 +271,100 @@ def main():
         k = int(np.argmax(np.abs(b)))
         return np.allclose(a * (b[k] / a[k]), b, atol=1e-7)
 
+    synth_specs = {
+        "perm_grid_3x3": ("perm_grid_3x3",
+                          dict(depths=[4, 8], check=perm_ck)),
+        "lf_5_line": ("lf_5_line", dict(depths=[4, 8], check=lf_ck)),
+        "clifford_3q_line": ("clifford_3q_line",
+                             dict(depths=[4, 8], check=cliff_ck)),
+        "pauli_5_line (2 rotations)": (
+            "pauli_5_line", dict(depths=[3, 6], rotations=2,
+                                 check=unitary_ck)),
+        "pauli_12_line (2 rotations)": (
+            "pauli_12_line", dict(depths=[3, 6], rotations=2,
+                                  check=unitary_ck)),
+        "pauli_heavy_hex_27q (Clifford regime)": (
+            "pauli_heavy_hex_27q", dict(depths=[4, 8], check=cliff_ck)),
+        "az_pauli_18_line (2 rotations)": (
+            "az_pauli_18_line", dict(depths=[3], rotations=2,
+                                     num_targets=12, check=sv_ck)),
+        # ---- MCTS-path synth round-trips (the way the AZ artifacts were
+        # trained to be used: num_mcts_searches > 0 per decision)
+        "az_pauli_18_line (2 rot, MCTS-32, 4 searches)": (
+            "az_pauli_18_line", dict(depths=[3], rotations=2,
+                                     num_targets=12, num_searches=4,
+                                     mcts=32, check=sv_ck)),
+        "az_pauli_heavy_hex_27q (MCTS-32, 4 searches)": (
+            "az_pauli_heavy_hex_27q", dict(depths=[4, 8], num_targets=12,
+                                           num_searches=4, mcts=32,
+                                           check=cliff_ck)),
+        "az_perm_grid_3x3 (MCTS-32, 4 searches)": (
+            "az_perm_grid_3x3", dict(depths=[4, 8], num_targets=12,
+                                     num_searches=4, mcts=32,
+                                     check=perm_ck)),
+        # full 303-action gateset artifact: Clifford-regime round-trips
+        # verified by tableau equality (27q statevector checks are
+        # infeasible; the rotation-regime unitary check lives in the 18q
+        # sv_ck row above)
+        "az_pauli_heavy_hex_27q_full (MCTS-32, 4 searches)": (
+            "az_pauli_heavy_hex_27q_full", dict(depths=[4, 8],
+                                                num_targets=12,
+                                                num_searches=4, mcts=32,
+                                                check=cliff_ck)),
+    }
     synth_report = {}
-    synth_report["perm_grid_3x3"] = synth_quality(
-        "perm_grid_3x3", [4, 8], check=perm_ck)
-    synth_report["lf_5_line"] = synth_quality(
-        "lf_5_line", [4, 8], check=lf_ck)
-    synth_report["clifford_3q_line"] = synth_quality(
-        "clifford_3q_line", [4, 8], check=cliff_ck)
-    synth_report["pauli_5_line (2 rotations)"] = synth_quality(
-        "pauli_5_line", [3, 6], rotations=2, check=unitary_ck)
-    synth_report["pauli_12_line (2 rotations)"] = synth_quality(
-        "pauli_12_line", [3, 6], rotations=2, check=unitary_ck)
-    synth_report["pauli_heavy_hex_27q (Clifford regime)"] = synth_quality(
-        "pauli_heavy_hex_27q", [4, 8], check=cliff_ck)
-    synth_report["az_pauli_18_line (2 rotations)"] = synth_quality(
-        "az_pauli_18_line", [3], rotations=2, num_targets=12, check=sv_ck)
-    # ---- MCTS-path synth round-trips (the way the AZ artifacts were
-    # trained to be used: num_mcts_searches > 0 per decision)
-    synth_report["az_pauli_18_line (2 rot, MCTS-32, 4 searches)"] = \
-        synth_quality("az_pauli_18_line", [3], rotations=2, num_targets=12,
-                      num_searches=4, mcts=32, check=sv_ck)
-    synth_report["az_pauli_heavy_hex_27q (MCTS-32, 4 searches)"] = \
-        synth_quality("az_pauli_heavy_hex_27q", [4, 8], num_targets=12,
-                      num_searches=4, mcts=32, check=cliff_ck)
-    synth_report["az_perm_grid_3x3 (MCTS-32, 4 searches)"] = \
-        synth_quality("az_perm_grid_3x3", [4, 8], num_targets=12,
-                      num_searches=4, mcts=32, check=perm_ck)
-    # full 303-action gateset artifact: Clifford-regime round-trips verified
-    # by tableau equality (27q statevector checks are infeasible; the
-    # rotation-regime unitary check lives in the 18q sv_ck row above)
-    synth_report["az_pauli_heavy_hex_27q_full (MCTS-32, 4 searches)"] = \
-        synth_quality("az_pauli_heavy_hex_27q_full", [4, 8], num_targets=12,
-                      num_searches=4, mcts=32, check=cliff_ck)
+    for label, (name, kw) in synth_specs.items():
+        if only and only not in name:
+            continue
+        synth_report[label] = synth_quality(name, **kw)
 
-    lines = ["# Solve quality (shipped artifacts, one v5e chip)", "",
+    def fmt(name, rows):
+        return [f"| {name} | {r['difficulty']} | {r['solve_rate']:.2f} | "
+                f"{r['mean_2q']:.1f} | {prov(r['mode'])} |" for r in rows]
+
+    lines = ["# Solve quality (shipped artifacts)", "",
              "Scrambles drawn by the env at each difficulty; solve rate over",
-             "fresh targets; 2q count = best solution per solved target.", ""]
-    lines += ["| artifact | difficulty | solve rate | mean 2q gates |",
-              "|---|---|---|---|"]
+             "fresh targets; 2q count = best solution per solved target.",
+             "Provenance: measurement mode · hardware · round the row was",
+             "last measured in. Solve rates and 2q counts are",
+             "hardware-independent (same seeds, same jitted programs).", ""]
+    lines += ["| artifact | difficulty | solve rate | mean 2q gates "
+              "| provenance |", "|---|---|---|---|---|"]
     for name, rows in report.items():
-        for r in rows:
-            lines.append(f"| {name} | {r['difficulty']} | "
-                         f"{r['solve_rate']:.2f} | {r['mean_2q']:.1f} |")
+        lines += fmt(name, rows)
     lines += ["", "## synth() round-trips (random in-gateset circuit targets,",
               "verified outputs only: permutation / GF(2) / tableau /",
-              "statevector equality as appropriate; 32 searches)", "",
+              "statevector equality as appropriate)", "",
               "| artifact | target depth | verified solve rate "
-              "| mean 2q gates |",
-              "|---|---|---|---|"]
+              "| mean 2q gates | provenance |",
+              "|---|---|---|---|---|"]
     for name, rows in synth_report.items():
-        for r in rows:
-            lines.append(f"| {name} | {r['difficulty']} | "
-                         f"{r['solve_rate']:.2f} | {r['mean_2q']:.1f} |")
+        lines += fmt(name, rows)
     out = "\n".join(lines) + "\n"
     print(out)
     print(f"(total {time.time() - t0:.0f}s)", file=sys.stderr)
     if "--write" in sys.argv:
-        # carry over the BASELINE config #5 section (written separately by
-        # bench_baseline5.py --write) so a quality refresh doesn't drop it —
-        # unless --baseline5 runs right after, which appends a fresh one
-        # (carrying over here too would accumulate duplicate sections)
-        if "--baseline5" not in sys.argv:
-            try:
-                with open("docs/QUALITY.md") as f:
-                    prev = f.read()
-                marker = "## BASELINE config #5"
-                if marker in prev:
-                    out += "\n" + prev[prev.index(marker):]
-            except FileNotFoundError:
-                pass
-        with open("docs/QUALITY.md", "w") as f:
-            f.write(out)
+        if only:
+            # patch matching rows of the existing file in place
+            patches = {n: fmt(n, rows) for n, rows in
+                       list(report.items()) + list(synth_report.items())}
+            _patch_rows("docs/QUALITY.md", patches)
+        else:
+            # carry over the BASELINE config #5 section (written separately
+            # by bench_baseline5.py --write) so a quality refresh doesn't
+            # drop it — unless --baseline5 runs right after, which appends a
+            # fresh one (carrying over here too would duplicate sections)
+            if "--baseline5" not in sys.argv:
+                try:
+                    with open("docs/QUALITY.md") as f:
+                        prev = f.read()
+                    marker = "## BASELINE config #5"
+                    if marker in prev:
+                        out += "\n" + prev[prev.index(marker):]
+                except FileNotFoundError:
+                    pass
+            with open("docs/QUALITY.md", "w") as f:
+                f.write(out)
 
     if "--baseline5" in sys.argv:
         # BASELINE config #5 at reference AZ defaults (1000 MCTS sims per

