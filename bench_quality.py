@@ -8,7 +8,12 @@ Every row carries a provenance column (measurement mode / hardware / round
 tag) so tables never mix measurement semantics silently.
 
 Usage: python bench_quality.py [--write] [--only SUBSTR] [--round TAG]
-       [--baseline5]
+       [--baseline5] [--synth-only | --evals-only]
+
+--synth-only / --evals-only measure just one of the two tables (with
+--write, the other table's rows are patched in from the existing file
+untouched — handy for refreshing the cheap table without re-running the
+expensive one).
 
 --write rewrites docs/QUALITY.md (carrying over the BASELINE config #5
 section, which bench_baseline5.py --write owns). With --only, --write
@@ -231,9 +236,11 @@ def main():
                                                 num_searches=1, mcts=96,
                                                 deterministic=True)),
     }
+    synth_only = "--synth-only" in sys.argv
+    evals_only = "--evals-only" in sys.argv
     report = {}
     for label, (name, kw) in eval_specs.items():
-        if only and only not in name:
+        if synth_only or (only and only not in name):
             continue
         report[label] = eval_artifact(name, **kw)
 
@@ -314,7 +321,7 @@ def main():
     }
     synth_report = {}
     for label, (name, kw) in synth_specs.items():
-        if only and only not in name:
+        if evals_only or (only and only not in name):
             continue
         synth_report[label] = synth_quality(name, **kw)
 
@@ -344,7 +351,7 @@ def main():
     print(out)
     print(f"(total {time.time() - t0:.0f}s)", file=sys.stderr)
     if "--write" in sys.argv:
-        if only:
+        if only or synth_only or evals_only:
             # patch matching rows of the existing file in place
             patches = {n: fmt(n, rows) for n, rows in
                        list(report.items()) + list(synth_report.items())}
