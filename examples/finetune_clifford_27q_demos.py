@@ -62,8 +62,17 @@ def main():
     # sampled/argmax presets the QUALITY rows are measured with
     policy_cfg = BasicPolicyConfig.from_json(
         json.load(open(src_json))["policy"])
+    from qiskit_gym_tpu.rl.configs import EvalConfig
+
+    # only the two presets measure() reads — the default mcts_100 preset
+    # (100 sims x 27q x 3 difficulties) would eat the chip budget without
+    # being consumed by this experiment
+    evals = {"ppo_deterministic": EvalConfig(),
+             "ppo_10": EvalConfig(deterministic=False, num_searches=10)}
     rls = RLSynthesis(env, AlphaZeroConfig(num_episodes=8,
-                                           num_mcts_searches=4, lr=1e-4),
+                                           num_mcts_searches=4, lr=1e-4,
+                                           evals=evals,
+                                           diff_metric="ppo_deterministic"),
                       policy_cfg, seed=3)
     algo = rls.algorithm
     algo.params = load_params(src_pt)
