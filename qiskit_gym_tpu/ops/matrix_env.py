@@ -27,6 +27,7 @@ TPU-first design (measured on v5e — see bench.py and docs/PERF.md):
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -503,6 +504,13 @@ class MatrixEnvCore:
     # (custom-call dispatch dominates at [B, n]-sized operands; docs/PERF.md).
     use_pallas_metrics: bool = False
 
+    # Whole-step fused Mosaic kernel (ops/pallas_fused.py): one kernel per
+    # step covering decode + GF(2) updates + metrics + swap + solved +
+    # reward. Bitpacked path only; off until hardware measurement says it
+    # beats the XLA lowering (docs/PERF.md). Opt in per instance or via
+    # QGT_PALLAS_STEP=1.
+    use_pallas_step: bool = os.environ.get("QGT_PALLAS_STEP", "") == "1"
+
     def _metrics_update(self, state: MatrixEnvState, action):
         if self.use_pallas_metrics:
             from .pallas_metrics import metrics_update_pallas
@@ -609,6 +617,16 @@ class MatrixEnvCore:
     ) -> MatrixEnvState:
         """One batched env step. `key` is consumed for the inversion coin-flip;
         `invert_override` (bool [B]) injects the flips for trace tests."""
+        if self.use_pallas_step and self.bitpack and self.add_inverts:
+            # whole-step fused Mosaic kernel (ops/pallas_fused.py): RNG
+            # stays out here so traces match the XLA path bit-for-bit
+            from .pallas_fused import fused_step
+
+            if invert_override is None:
+                flip = jax.random.bernoulli(key, 0.5, (state.batch,))
+            else:
+                flip = invert_override
+            return fused_step(self, state, action, flip)
         if self.use_pallas_metrics:
             state, penalty = self._metrics_update(state, action)
             new_a, new_ainv = self.apply_gates(state.a, state.ainv, action)
