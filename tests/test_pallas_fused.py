@@ -11,7 +11,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from qiskit_gym_tpu.envs import CliffordGym
+from qiskit_gym_tpu.envs import (CliffordGym, LinearFunctionGym,
+                                 PermutationGym)
+from qiskit_gym_tpu.ops.matrix_env import MatrixEnvCore
 from qiskit_gym_tpu.ops.pallas_fused import fused_step
 
 LINE_8 = [(i, i + 1) for i in range(7)]
@@ -53,6 +55,31 @@ def test_fused_step_bit_exact(coupling, kwargs):
     rng = np.random.default_rng(11)
     for t in range(5):
         # include the noop action and repeated 1q/2q gates in the mix
+        actions = jnp.asarray(
+            rng.integers(0, core.num_actions + 1, B), jnp.int32)
+        flips = jnp.asarray(rng.random(B) < 0.5)
+        want = core.step(state, actions, jax.random.key(t),
+                         invert_override=flips)
+        got = fused_step(core, state, actions, flips, block_b=16,
+                         interpret=True)
+        _assert_states_equal(got, want, t)
+        state = want
+
+
+@pytest.mark.parametrize("gym_cls,kind", [
+    (PermutationGym, "permutation"),
+    (LinearFunctionGym, "linear"),
+])
+def test_fused_step_matrix_families_forced_bitpack(gym_cls, kind):
+    """dim-27 families run dense by default; the fused kernel only exists
+    for the packed rep — pin W=1 forced-bitpack bit-exactness for them."""
+    env = gym_cls.from_coupling_map(HEAVY_HEX_27)
+    base = env.core
+    core = MatrixEnvCore(base.num_qubits, base.gateset, kind, bitpack=True)
+    B = 32
+    state = core.reset(jax.random.key(3), B, 8)
+    rng = np.random.default_rng(5)
+    for t in range(3):
         actions = jnp.asarray(
             rng.integers(0, core.num_actions + 1, B), jnp.int32)
         flips = jnp.asarray(rng.random(B) < 0.5)
