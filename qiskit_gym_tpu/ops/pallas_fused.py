@@ -131,14 +131,17 @@ def _fused_kernel(act_ref, flip_ref, a_ref, ainv_ref, lg_ref, lc_ref,
                   noop_action: int, weights: tuple):
     BB = act_ref.shape[0]
     act = act_ref[:, 0:1]                                    # [BB, 1] i32
-    oh_a = (jax.lax.broadcasted_iota(jnp.int32, (BB, A1), 1)
-            == act).astype(jnp.float32)
+    # Mosaic-supported cast chains only: bool -> f32 via select,
+    # f32 -> u32 via i32 (the direct casts don't lower)
+    oh_a = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (BB, A1), 1) == act,
+        jnp.float32(1.0), jnp.float32(0.0))
     row = jnp.dot(oh_a, tab_ref[...],
                   preferred_element_type=jnp.float32)        # [BB, F]
 
     # ------------------------------------------------- decode the table row
     def col_u32(c):
-        return row[:, c:c + 1].astype(jnp.uint32)            # [BB, 1]
+        return row[:, c:c + 1].astype(jnp.int32).astype(jnp.uint32)
 
     o = 3
     U32 = [[None] * W for _ in range(K)]
