@@ -311,7 +311,7 @@ class MatrixEnvCore:
         metrics_weights: Optional[dict] = None,
         add_inverts: bool = True,
         scramble_cap: int = 256,
-        bitpack: Optional[bool] = None,  # default: dim >= 32 (measured)
+        bitpack: Optional[bool] = None,  # default: True (measured, docs/PERF.md)
     ):
         assert kind in ("permutation", "linear", "clifford")
         self.kind = kind
@@ -330,10 +330,12 @@ class MatrixEnvCore:
         # rank-2 term tables: every gate is G = I xor U S with U [D, 2] dest
         # one-hot combos and S [2, D] source selectors; index A (one past the
         # end) is the all-zero no-op used for masked scramble steps. The
-        # production step applies G via VPU masked-row-sum + XOR (fastest
-        # measured variant; see docs/PERF.md for the GEMM/Pallas history).
-        self.bitpack = bool(bitpack) if bitpack is not None else (
-            self.dim >= 32)
+        # bitpacked uint32 representation is the default at every dim since
+        # the consolidated-gather step made the update bandwidth-bound:
+        # measured 1.08-2.2x over dense int8 from dim 5 through dim 54
+        # (docs/PERF.md for the full history; dense kept as the spec-shaped
+        # fallback via bitpack=False).
+        self.bitpack = True if bitpack is None else bool(bitpack)
         Dr = self.dim if self.bitpack else self.D   # packed rep needs no pad
         Us, Ss = [], []
         for g in self.gateset:
