@@ -289,6 +289,18 @@ def test_bitpack_matches_dense_representation():
     assert np.allclose(np.asarray(s1.reward), np.asarray(s2.reward))
 
 
+def test_bitpack_is_the_default_at_every_dim():
+    """Round 4: bitpacked uint32 is the production default at every dim
+    (measured 1.08-2.2x over dense int8 once the consolidated gather made
+    the step bandwidth-bound; docs/PERF.md). Dense remains opt-in."""
+    from qiskit_gym_tpu.ops.matrix_env import MatrixEnvCore
+
+    gs5 = [("SWAP", [i, i + 1]) for i in range(4)]
+    assert MatrixEnvCore(5, gs5, "permutation").bitpack          # dim 5
+    assert MatrixEnvCore(5, gs5, "clifford").bitpack             # dim 10
+    assert not MatrixEnvCore(5, gs5, "linear", bitpack=False).bitpack
+
+
 def test_pallas_metrics_matches_xla():
     """The fused Pallas metrics kernel (interpret mode) matches the XLA
     lowering bit-for-bit (kept as a measured-slower-on-v5e baseline)."""
