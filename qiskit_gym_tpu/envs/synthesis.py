@@ -341,6 +341,18 @@ class PauliGym(BaseSynthesisEnv):
         # different targets don't cross-contaminate reconstruction
         self._rotation_memo: "OrderedDict[tuple, tuple]" = OrderedDict()
 
+    @property
+    def pauli_diff_scale(self) -> int:
+        """Difficulty units per rotation (rotations appear at difficulty >=
+        this); forwarded from the core so callers that key their curriculum
+        or grading on the artifact's difficulty semantics (e.g.
+        examples/train_pauli_bc.py) see the configured value."""
+        return int(self.core.pauli_diff_scale)
+
+    @property
+    def max_rotations(self) -> int:
+        return int(self.core.R)
+
     def _build_core(self):
         from qiskit_gym_tpu.ops.pauli import PauliEnvCore
 

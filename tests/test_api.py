@@ -401,6 +401,19 @@ def test_duplicate_swap_twists_stay_bijective():
         assert sorted(p) == list(range(len(gs)))
 
 
+def test_pauli_gym_forwards_difficulty_semantics():
+    """pauli_diff_scale/max_rotations are readable on the gym (round-4 fix:
+    train_pauli_bc.py keyed its grading difficulties on
+    getattr(env, 'pauli_diff_scale', 4) and silently fell back to 4 for the
+    scale-16 artifact because the knob only lived on the core)."""
+    from qiskit_gym_tpu.envs.synthesis import PauliGym
+
+    gym = PauliGym.from_coupling_map(LINE_3, max_rotations=3,
+                                     pauli_diff_scale=16)
+    assert gym.pauli_diff_scale == 16
+    assert gym.max_rotations == 3
+
+
 def test_pauli_get_state_validates_rotations():
     from qiskit_gym_tpu.envs.synthesis import PauliGym
 
