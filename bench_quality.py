@@ -10,6 +10,10 @@ tag) so tables never mix measurement semantics silently.
 Usage: python bench_quality.py [--write] [--only SUBSTR] [--round TAG]
        [--baseline5] [--synth-only | --evals-only]
 
+--only matches artifact stems by substring; prefix the value with '='
+for an exact stem match (az_pauli_heavy_hex_27q is a prefix of its
+_dense/_full siblings).
+
 --synth-only / --evals-only measure just one of the two tables (with
 --write, the other table's rows are patched in from the existing file
 untouched — handy for refreshing the cheap table without re-running the
@@ -30,6 +34,16 @@ import jax.numpy as jnp
 
 from qiskit_gym_tpu.rl import RLSynthesis
 from qiskit_gym_tpu.rl.rollout import collect
+
+
+def _only_matches(only, name):
+    """--only filter: substring by default; '=stem' for an exact match
+    (az_pauli_heavy_hex_27q is a prefix of its _dense/_full siblings)."""
+    if not only:
+        return True
+    if only.startswith("="):
+        return name == only[1:]
+    return only in name
 
 
 def _hw_tag():
@@ -175,6 +189,9 @@ def main():
     only = None
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1]
+
+    def _skip(name):
+        return not _only_matches(only, name)
     round_tag = "r4"
     if "--round" in sys.argv:
         round_tag = sys.argv[sys.argv.index("--round") + 1]
@@ -222,7 +239,7 @@ def main():
                                               num_searches=1, mcts=48,
                                               deterministic=True)),
         "az_pauli_heavy_hex_27q (MCTS-96, argmax)": (
-            "az_pauli_heavy_hex_27q", dict(difficulties=[4, 8, 16],
+            "az_pauli_heavy_hex_27q", dict(difficulties=[4, 8, 16, 24, 32],
                                            num_episodes=64, num_searches=1,
                                            mcts=96, deterministic=True)),
         "az_pauli_heavy_hex_27q_dense (MCTS-96, argmax)": (
@@ -240,7 +257,7 @@ def main():
     evals_only = "--evals-only" in sys.argv
     report = {}
     for label, (name, kw) in eval_specs.items():
-        if synth_only or (only and only not in name):
+        if synth_only or _skip(name):
             continue
         report[label] = eval_artifact(name, **kw)
 
@@ -305,6 +322,12 @@ def main():
             "az_pauli_heavy_hex_27q", dict(depths=[4, 8], num_targets=12,
                                            num_searches=4, mcts=32,
                                            check=cliff_ck)),
+        # wide-lane mode: shows how much the multi-lane search recovers on
+        # shallow targets (round-3 row was hand-run; now reproducible)
+        "az_pauli_heavy_hex_27q (MCTS-96, 64 lanes)": (
+            "az_pauli_heavy_hex_27q", dict(depths=[4, 8], num_targets=12,
+                                           num_searches=64, mcts=96,
+                                           check=cliff_ck)),
         "az_perm_grid_3x3 (MCTS-32, 4 searches)": (
             "az_perm_grid_3x3", dict(depths=[4, 8], num_targets=12,
                                      num_searches=4, mcts=32,
@@ -321,7 +344,7 @@ def main():
     }
     synth_report = {}
     for label, (name, kw) in synth_specs.items():
-        if evals_only or (only and only not in name):
+        if evals_only or _skip(name):
             continue
         synth_report[label] = synth_quality(name, **kw)
 

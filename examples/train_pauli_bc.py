@@ -79,6 +79,13 @@ def main():
                           diff_replay=4, episode_packing=True,
                           pack_pool_slots=4)
     rls = RLSynthesis(env, cfg, pol, model_path=out_pt)
+    # carry any existing provenance through resaves, then describe this run
+    rls.trained_with = (
+        f"{stem}: round-4 BC-bootstrap amplification "
+        f"(examples/train_pauli_bc.py — planner-demo BC to an eval plateau, "
+        f"then AZ + expert replay; best-by-eval snapshot ships; evidence: "
+        f"runs-evidence/{stem}_bc_r4.jsonl). Prior provenance: "
+        + (full.get("trained_with") or "none recorded"))
     algo = rls.algorithm
 
     snap = os.path.join(run, "train_state.msgpack")

@@ -51,6 +51,11 @@ class RLSynthesis:
         self.seed = seed
         self.mesh = mesh  # optional jax.sharding.Mesh; forwarded to the
         #                   algorithm so train/eval/solve shard over it
+        # free-form provenance note describing how the paired weights were
+        # actually produced (round-trips through save()/from_config_json so
+        # resaves never silently drop it; no reference counterpart — their
+        # artifacts carry no provenance at all)
+        self.trained_with: Optional[str] = None
         self.algorithm = self._init_algorithm(model_path)
 
     def _init_algorithm(self, model_path: Optional[str]):
@@ -100,10 +105,12 @@ class RLSynthesis:
         model_config = POLICIES[pol_cls].from_json(full["policy"])
         model_config = model_config.with_updates(policy_cls=full["policy_cls"])
 
-        return cls(env, rl_config, model_config, model_path)
+        rls = cls(env, rl_config, model_config, model_path)
+        rls.trained_with = full.get("trained_with")
+        return rls
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "env_cls": f"qiskit_gym_tpu.envs.synthesis.{self.env.cls_name}",
             "env": self.env_config,
             "policy_cls": self.model_config.policy_cls,
@@ -111,6 +118,9 @@ class RLSynthesis:
             "algorithm_cls": self.rl_config.algorithm_cls,
             "algorithm": self.rl_config.to_json(),
         }
+        if self.trained_with:
+            out["trained_with"] = self.trained_with
+        return out
 
     def save(self, config_path: str, model_path: Optional[str] = None,
              best: bool = False):

@@ -188,6 +188,29 @@ def test_rlsynthesis_learn_and_synth_permutation(tmp_path):
     assert permutation_pattern(linear_from_circuit(out2)).tolist() == pattern
 
 
+def test_trained_with_provenance_round_trips(tmp_path):
+    """`trained_with` must survive save()/from_config_json; a plain resave
+    used to silently drop hand-added provenance notes from artifact jsons."""
+    env = PermutationGym.from_coupling_map(GRID_2x2, max_depth=32)
+    rls = RLSynthesis(env, small_ppo(), BasicPolicyConfig(embedding_size=64,
+                                                          common_layers=[32]))
+    # absent by default: the key must not appear at all
+    p0 = str(tmp_path / "plain.json")
+    rls.save(p0)
+    assert "trained_with" not in json.load(open(p0))
+
+    rls.trained_with = "PPO 3 iters on CPU; test provenance"
+    p1 = str(tmp_path / "prov.json")
+    rls.save(p1)
+    assert json.load(open(p1))["trained_with"] == rls.trained_with
+    rls2 = RLSynthesis.from_config_json(p1)
+    assert rls2.trained_with == rls.trained_with
+    # and a resave through the reloaded object keeps it
+    p2 = str(tmp_path / "resave.json")
+    rls2.save(p2)
+    assert json.load(open(p2))["trained_with"] == rls.trained_with
+
+
 def test_rlsynthesis_synth_clifford_phase_exact():
     env = CliffordGym.from_coupling_map(LINE_3, basis_gates=("H", "S", "CX"),
                                         max_depth=24)

@@ -56,6 +56,20 @@ def test_patch_rows_replaces_in_place(tmp_path):
     assert "| 8 | 1.00 | 6.8 | 20.2 | 156.5 |" in out
 
 
+def test_only_filter_exact_and_substring():
+    bq = _load_bench_quality()
+    stems = ["az_pauli_heavy_hex_27q", "az_pauli_heavy_hex_27q_dense",
+             "az_pauli_heavy_hex_27q_full", "lf_5_line"]
+    # substring mode matches the whole prefix family
+    sub = [s for s in stems if bq._only_matches("az_pauli_heavy_hex_27q", s)]
+    assert sub == stems[:3]
+    # '=' selects exactly one stem even when it prefixes siblings
+    exact = [s for s in stems if bq._only_matches("=az_pauli_heavy_hex_27q", s)]
+    assert exact == ["az_pauli_heavy_hex_27q"]
+    # no filter selects everything
+    assert all(bq._only_matches(None, s) for s in stems)
+
+
 def test_patch_rows_appends_unknown_label(tmp_path):
     bq = _load_bench_quality()
     path = tmp_path / "QUALITY.md"

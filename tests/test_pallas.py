@@ -6,19 +6,25 @@ import jax
 import jax.numpy as jnp
 
 from qiskit_gym_tpu.envs import CliffordGym, LinearFunctionGym, PermutationGym
+from qiskit_gym_tpu.ops.matrix_env import MatrixEnvCore
 from qiskit_gym_tpu.ops.pallas_step import fused_step_apply
 
 LINE_4 = [(0, 1), (1, 2), (2, 3)]
 
 
-@pytest.mark.parametrize("gym_cls,kwargs", [
-    (CliffordGym, {}),
-    (LinearFunctionGym, {}),
-    (PermutationGym, {}),
+@pytest.mark.parametrize("gym_cls,kind", [
+    (CliffordGym, "clifford"),
+    (LinearFunctionGym, "linear"),
+    (PermutationGym, "permutation"),
 ])
-def test_pallas_matches_xla(gym_cls, kwargs):
-    env = gym_cls.from_coupling_map(LINE_4, **kwargs)
-    core = env.core
+def test_pallas_matches_xla(gym_cls, kind):
+    # This kernel is the DENSE-layout per-step baseline (measured-and-lost,
+    # docs/PERF.md); since round 4 made bitpacked uint32 the universal
+    # default, the dense core must be requested explicitly here.
+    env = gym_cls.from_coupling_map(LINE_4)
+    core = MatrixEnvCore(env.core.num_qubits, env.core.gateset, kind,
+                         bitpack=False)
+    assert not core.bitpack
     B = 32
     state = core.reset(jax.random.key(0), B, 6)
     rng = np.random.default_rng(3)
