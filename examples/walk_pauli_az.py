@@ -40,9 +40,13 @@ MODELS = os.path.join(os.path.dirname(__file__), "models")
 def main():
     stem = sys.argv[1]
     budget_s = 60 * (float(sys.argv[2]) if len(sys.argv) > 2 else 55.0)
+    # the round-4 run ended mid-walk with no 'final' phase row (the proof
+    # evals on the shipped snapshot never ran); reserve the tail of the
+    # budget so the final rows always land before the driver's clock runs out
+    proof_reserve_s = min(0.25 * budget_s, 20 * 60.0)
     run = f"runs/{stem}_walk"
     evidence = os.path.join(os.path.dirname(__file__), "..", "runs-evidence",
-                            f"{stem}_walk_r4.jsonl")
+                            f"{stem}_walk_r5.jsonl")
     out_json = os.path.join(MODELS, f"{stem}.json")
     out_pt = os.path.join(MODELS, f"{stem}.pt")
 
@@ -98,7 +102,8 @@ def main():
     t0 = time.time()
     difficulty = start
     burst = 0
-    while time.time() - t0 < budget_s:
+    prior_provenance = full.get("trained_with")
+    while time.time() - t0 < budget_s - proof_reserve_s:
         rls.learn(initial_difficulty=difficulty, num_iterations=2,
                   tb_path=run)
         difficulty = int(getattr(env, "difficulty", difficulty))
@@ -110,14 +115,15 @@ def main():
                       "bc_loss": round(float(m["loss"]), 4),
                       "minutes": round((time.time() - t0) / 60, 1)})
         if algo.best_difficulty > 0:
+            # append to the prior provenance chain rather than replacing it
+            # (the round-4 version of this script clobbered it)
             rls.trained_with = (
-                f"{stem}: round-4 curriculum walk "
-                f"(examples/walk_pauli_az.py) from difficulty {start}; every "
-                f"promotion gate-proven (mcts_100 >= 0.85); best proven "
-                f"difficulty {algo.best_difficulty}; ships the best-by-gate "
-                f"snapshot on top of the BC-amplified weights (evidence: "
-                f"runs-evidence/{stem}_walk_r4.jsonl and "
-                f"runs-evidence/{stem}_bc_r4.jsonl)")
+                f"{stem}: curriculum walk (examples/walk_pauli_az.py) from "
+                f"difficulty {start}; every promotion gate-proven (mcts_100 "
+                f">= 0.85); best proven difficulty {algo.best_difficulty}; "
+                f"ships the best-by-gate snapshot (evidence: "
+                f"runs-evidence/{stem}_walk_r5.jsonl). Prior provenance: "
+                + (prior_provenance or "none recorded"))
             rls.save(out_json, out_pt, best=True)
 
     # final proof rows on the snapshot the artifact ships

@@ -44,7 +44,7 @@ class AZTrajectory(NamedTuple):
 def _mcts_act(core, policy_apply, params, env_state, keys_t, t, T,
               num_sims, c_puct, deterministic, temperature, temperature_drop,
               noise_eps, dirichlet_alpha, max_expand_depth,
-              search_depth=None):
+              search_depth=None, lane_temp=None):
     """Shared per-step prologue for both MCTS collectors: observe -> batched
     MCTS -> visit-count action selection -> env step. Returns everything an
     AZTrajectory row needs plus the raw stepped state. `search_depth`
@@ -65,6 +65,12 @@ def _mcts_act(core, policy_apply, params, env_state, keys_t, t, T,
     probs = visits / jnp.maximum(visits.sum(-1, keepdims=True), 1e-8)
     if deterministic:
         action = jnp.argmax(visits, axis=-1)
+    elif lane_temp is not None:
+        # per-lane temperature portfolio (rl/rollout.solve_temperatures):
+        # argmax(log v + t*g) samples softmax(log v / t); t==0 is argmax
+        g = jax.random.gumbel(k_act, visits.shape)
+        logits = jnp.log(jnp.maximum(visits, 1e-8))
+        action = jnp.argmax(logits + lane_temp[:, None] * g, axis=-1)
     else:
         logits = jnp.log(jnp.maximum(visits, 1e-8)) / temperature
         action = jax.random.categorical(k_act, logits, axis=-1)
@@ -86,11 +92,13 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
                  num_sims: int, c_puct: float, deterministic: bool = False,
                  temperature: float = 1.0, temperature_drop: int = 0,
                  noise_eps: float = 0.0, dirichlet_alpha: float = 0.3,
-                 max_expand_depth: int = 1, search_depth=None):
+                 max_expand_depth: int = 1, search_depth=None,
+                 lane_temp=None):
     """`noise_eps`/`dirichlet_alpha` add AZ root exploration noise per move;
     `temperature_drop > 0` switches from visit-sampling to argmax after that
     many moves (AlphaZero temperature schedule); both are self-play-only knobs
-    (pass defaults for eval)."""
+    (pass defaults for eval). `lane_temp` [B] gives each lane its own
+    visit-sampling temperature (0 = argmax) — the solve portfolio."""
     # pregenerate per-step keys (serial per-step threefry chains are
     # expensive on TPU; see rl/rollout.collect)
     step_keys = jax.random.split(key, 3 * T).reshape(T, 3)
@@ -101,7 +109,8 @@ def collect_mcts(core, policy_apply, params, state, key, T: int,
         obs, probs, action, actual, live, inverted, stepped = _mcts_act(
             core, policy_apply, params, env_state, keys_t, t, T,
             num_sims, c_puct, deterministic, temperature, temperature_drop,
-            noise_eps, dirichlet_alpha, max_expand_depth, search_depth)
+            noise_eps, dirichlet_alpha, max_expand_depth, search_depth,
+            lane_temp)
         new_state = jax.tree.map(
             lambda new, old: jnp.where(
                 live.reshape(live.shape + (1,) * (new.ndim - 1)), new, old
@@ -578,23 +587,30 @@ def mcts_solve(env, policy, params, state_encoded, num_searches: int,
     # default keeps 1000-sim solves at 2 moves/dispatch)
     chunk_move_sims = int(os.environ.get("QGT_SOLVE_CHUNK_SIMS", "2048"))
     t_chunk = min(T, max(1, chunk_move_sims // max(num_mcts_searches, 1)))
+    # temperature-ladder portfolio across lanes (rl/rollout
+    # .solve_temperatures): lane 0 plays argmax visits, half ramp, half
+    # classic sampling; best_lane keeps the shortest successful solution
+    from .rollout import solve_temperatures
+
+    lane_temp = None if deterministic else solve_temperatures(num_searches)
     chunk_fn = cached_solve_jit(
         core, policy,
         ("mcts", t_chunk, num_mcts_searches, C, deterministic,
-         max_expand_depth),
-        lambda: lambda p, s, k: collect_mcts(
+         max_expand_depth, lane_temp is not None),
+        lambda: lambda p, s, k, lt: collect_mcts(
             core, policy.apply, p, s, k, t_chunk,
             num_sims=num_mcts_searches, c_puct=C, deterministic=deterministic,
             max_expand_depth=max_expand_depth,
             # the tree-depth cap must come from the FULL horizon, not the
             # chunk length, or a 4-move chunk runs 4-deep searches
             search_depth=min(T, 32),
+            lane_temp=lt,
         ))
     trajs = []
     final_state = state
     for _ in range(-(-T // t_chunk)):
         key, sub = jax.random.split(key)
-        final_state, tr = chunk_fn(params, final_state, sub)
+        final_state, tr = chunk_fn(params, final_state, sub, lane_temp)
         # reconstruction needs only these [t_chunk, B] fields — pulling the
         # full trajectory (obs + visit_probs) would move tens of MB per
         # synth() call over a TPU relay for the 27q artifacts

@@ -31,6 +31,31 @@ class Trajectory(NamedTuple):
     success: jnp.ndarray    # [B]  episode success per lane
 
 
+def solve_temperatures(num_searches: int):
+    """Best-of-N portfolio temperature ladder for the solve paths.
+
+    Lane 0 runs greedy (temperature 0 == argmax — the exploitation lane:
+    measured MCTS-argmax solutions are several times shorter than
+    visit-sampled ones on the deep-trained Pauli artifacts, docs/QUALITY.md),
+    the first half ramps linearly up to 1.0, and the rest stay at the
+    classic temperature-1.0 sampling that wins on hard targets where greedy
+    gets stuck. solve() picks the fewest-2q successful lane, so the ladder
+    strictly widens the portfolio: short greedy solutions when greedy
+    succeeds, full exploration diversity when it doesn't.
+
+    Sampling at temperature t is implemented as Gumbel-max with scaled
+    noise — argmax(logits + t*g) draws exactly from softmax(logits / t),
+    and t == 0 degenerates to argmax with no special-casing.
+
+    Returns None for num_searches < 2 (a single sampled lane keeps the
+    reference's plain temperature-1.0 semantics).
+    """
+    if num_searches < 2:
+        return None
+    ramp = jnp.arange(num_searches, dtype=jnp.float32)
+    return jnp.minimum(ramp / max(num_searches // 2, 1), 1.0)
+
+
 def sample_action(key, logits, masks, deterministic: bool):
     """Masked categorical sample / argmax. masks bool [B, A]."""
     neg = jnp.finfo(logits.dtype).min
@@ -80,12 +105,17 @@ def _sample_and_step(core, policy_apply, params, env_state, g_t, flip_t,
 
 
 def collect(core, policy_apply, params, state, key, T: int,
-            deterministic: bool = False):
+            deterministic: bool = False, lane_temp=None):
     """Roll out T steps from `state` (already reset). Returns (final_state,
-    Trajectory). Lanes that finish are frozen (their rows masked invalid)."""
+    Trajectory). Lanes that finish are frozen (their rows masked invalid).
+    `lane_temp` [B] sets a per-lane sampling temperature (0 = argmax; see
+    solve_temperatures) — ignored when deterministic."""
     B = state.depth.shape[0]
     gumbel, flips, step_keys = _pregen_randomness(core, key, T, B,
                                                   deterministic)
+    if lane_temp is not None and not deterministic:
+        # argmax(logits + t*g) samples softmax(logits/t); t==0 is argmax
+        gumbel = gumbel * lane_temp[None, :, None]
 
     def step_fn(env_state, xs):
         g_t, flip_t, key_t = xs

@@ -17,7 +17,7 @@ from typing import List, Optional
 import numpy as np
 import jax
 
-from .rollout import collect
+from .rollout import collect, solve_temperatures
 
 # Per-core cache of jitted solve programs. synth() used to build a fresh
 # lambda per call, which defeats jax.jit's identity-based caching and pays a
@@ -88,11 +88,17 @@ def policy_solve(
         params = shard_params(mesh, params)
 
     T = core.max_depth
+    # temperature-ladder portfolio: lane 0 greedy, half ramp, half classic
+    # temperature-1.0 sampling (rl/rollout.solve_temperatures); best_lane
+    # then keeps the shortest successful solution across the portfolio
+    lane_temp = (None if deterministic
+                 else solve_temperatures(num_searches))
     fn = cached_solve_jit(
-        core, policy, ("policy", T, deterministic),
-        lambda: lambda p, s, k: collect(core, policy.apply, p, s, k, T,
-                                        deterministic=deterministic))
-    final_state, traj = fn(params, state, key)
+        core, policy, ("policy", T, deterministic, lane_temp is not None),
+        lambda: lambda p, s, k, lt: collect(core, policy.apply, p, s, k, T,
+                                            deterministic=deterministic,
+                                            lane_temp=lt))
+    final_state, traj = fn(params, state, key, lane_temp)
 
     best = best_lane(final_state, traj)
     if best is None:
