@@ -49,16 +49,27 @@ HEAVY_HEX_27 = [
 NORTH_STAR = 1e7  # steps/sec (BASELINE.json)
 
 
-def bench_core(core, B: int, K: int, repeats: int = 3) -> float:
+def bench_core(core, B: int, K: int, repeats: int = 3, mesh=None) -> float:
     """Steps/sec for K scanned random-action steps over B envs (full training
     semantics: metrics/reward pipeline + random inversions). Randomness is
-    pregenerated in bulk — per-step threefry chains would dominate."""
+    pregenerated in bulk — per-step threefry chains would dominate.
+    With `mesh`, the env batch is dp-sharded over the mesh devices (the
+    rollout-DP layout of parallel/mesh.py) — the multi-chip headline."""
 
     def run(state, key):
         k_a, k_f, k_s = jax.random.split(key, 3)
         actions = jax.random.randint(k_a, (K, B), 0, core.num_actions)
         flips = jax.random.bernoulli(k_f, 0.5, (K, B))
         keys = jax.random.split(k_s, K)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from qiskit_gym_tpu.parallel import shard_env_state
+
+            state = shard_env_state(mesh, state)
+            dp = NamedSharding(mesh, P(None, "dp"))
+            actions = jax.lax.with_sharding_constraint(actions, dp)
+            flips = jax.lax.with_sharding_constraint(flips, dp)
 
         def body(s, xs):
             act, flip, kk = xs
@@ -126,6 +137,53 @@ def main():
     }))
 
 
+def main_mesh():
+    """`bench.py --mesh`: the same step bench dp-sharded over ALL visible
+    devices (parallel/mesh.py rollout-DP layout). One command produces the
+    multi-chip headline the moment real hardware appears; on the virtual
+    CPU mesh (tests / XLA_FLAGS=--xla_force_host_platform_device_count=8)
+    the output is labelled `virtual` — pinned by tests/test_parallel.py."""
+    from qiskit_gym_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    ndev = len(jax.devices())
+    plat = jax.devices()[0].platform
+    virtual = plat == "cpu"
+    # per-device lane width: measured-best 32768/chip; keep the virtual CPU
+    # mesh small enough to run in CI time
+    B = (2048 if virtual else 32768) * ndev
+    K = 32 if virtual else 128
+
+    results = {}
+    env = CliffordGym.from_coupling_map(HEAVY_HEX_27, max_depth=128)
+    results["clifford_27q_heavy_hex"] = bench_core(env.core, B, K, mesh=mesh)
+    env = PermutationGym.from_coupling_map(HEAVY_HEX_27, max_depth=128)
+    results["permutation_27q"] = bench_core(env.core, B, K, mesh=mesh)
+    env = LinearFunctionGym.from_coupling_map(HEAVY_HEX_27, max_depth=128)
+    results["linear_function_27q"] = bench_core(env.core, B, K, mesh=mesh)
+    env = PauliGym.from_coupling_map(HEAVY_HEX_27, max_depth=128,
+                                     max_rotations=5, pauli_diff_scale=8)
+    results["pauli_network_27q"] = bench_core(env.core, B, K, mesh=mesh)
+
+    for name, v in results.items():
+        print(f"  {name}: {v / 1e6:.2f}M steps/s", file=sys.stderr)
+    vals = list(results.values())
+    geomean = float(np.prod(vals)) ** (1.0 / len(vals))
+    print(json.dumps({
+        "metric": (
+            f"batched env steps/sec dp-sharded over {ndev} "
+            f"{'VIRTUAL CPU' if virtual else plat.upper()} devices, "
+            "geomean over the four 27q heavy-hex env families "
+            "(full training semantics)"
+        ),
+        "value": round(geomean, 1),
+        "unit": "steps/sec",
+        "devices": ndev,
+        "hardware": "virtual-cpu-mesh" if virtual else plat,
+        "vs_baseline": round(geomean / NORTH_STAR, 4),
+    }))
+
+
 def scale_sweep():
     """Very-large-instance scaling (stderr only): Clifford at 127q and 433q
     line maps, bitpacked symplectic tableaus (254x254 and 866x866 bits).
@@ -142,6 +200,9 @@ if __name__ == "__main__":
     if "--scale" in sys.argv:
         sys.argv.remove("--scale")
         scale_sweep()
+    elif "--mesh" in sys.argv:
+        sys.argv.remove("--mesh")
+        main_mesh()
     else:
         main()
     # axon PJRT teardown can hang ~90s after the result is already printed;
