@@ -609,7 +609,15 @@ class PauliEnvCore:
         vectorized with masked fixed-bound loops."""
         n = self.num_qubits
         nd = self.pair_cnt.shape[0]
-        EXT_CAP = 16  # reference's extension loop exits w.p. >= decay per iter
+        # DEVIATION (documented): the reference's extension loop is UNBOUNDED
+        # (pauli.rs:147-157 — extend while rng > num_qubits_decay); a traced
+        # fori needs a static bound. Each iteration first breaks w.p. decay,
+        # so P(> EXT_CAP extensions) = (1 - decay)^16 ~ 1.5e-5 at the 0.5
+        # default — and the loop is further bounded by the distance budget
+        # and the unclaimed-qubit supply. Distributional agreement with the
+        # uncapped spec twin is pinned by tests/test_pauli.py::
+        # test_ext_cap_matches_uncapped_spec_distribution.
+        EXT_CAP = 16
 
         def sample_masked(k, scores_mask):
             # uniform index among True entries of scores_mask [B, nd];

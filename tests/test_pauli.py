@@ -408,3 +408,40 @@ def test_primitive_depth_specializes_per_gateset():
         max_rotations=4).core
     assert dense.max_prims == 1                     # Sdg fused to one slot
     assert dense.cleanup_slots == [0]
+
+
+def test_ext_cap_matches_uncapped_spec_distribution():
+    """EXT_CAP=16 (ops/pauli.py _generate_rotations) statically bounds the
+    reference's UNBOUNDED extension loop (pauli.rs:147-157). Each iteration
+    breaks w.p. num_qubits_decay first, so P(>16 extensions) ~ (1-decay)^16
+    ~ 1.5e-5 at the 0.5 default — the cap must be distributionally
+    invisible. Pin it: rotation support sizes and rotations-per-reset from
+    the capped device generator match the uncapped numpy spec twin."""
+    gym = make_gym(n=9, max_depth=64)
+    core, spec = gym.core, gym.spec
+    assert spec.num_qubits_decay == 0.5
+    diff = 24  # deep budget: many extension opportunities per rotation
+    B = 2048
+
+    rx, rz, rphase, valid = jax.jit(
+        lambda k: core._generate_rotations(k, B, jnp.full(B, diff))
+    )(jax.random.key(0))
+    support = np.asarray(
+        jax.lax.population_count(rx | rz).sum(-1))[np.asarray(valid)]
+    n_rot = np.asarray(valid).sum(axis=1)
+
+    spec.rng = np.random.default_rng(7)
+    s_support, s_nrot = [], []
+    for _ in range(B):
+        rots = spec._generate_rotations(diff)
+        s_nrot.append(len(rots))
+        s_support += [sum(c != "I" for c in r) for r in rots]
+    s_support = np.asarray(s_support)
+
+    assert abs(support.mean() - s_support.mean()) < 0.2, (
+        support.mean(), s_support.mean())
+    assert abs(support.std() - s_support.std()) < 0.3
+    assert abs(n_rot.mean() - np.mean(s_nrot)) < 0.2
+    # the cap itself can never be the binding constraint in practice:
+    # supports needing >16 extensions would span >34 qubits
+    assert support.max() <= 9
