@@ -365,6 +365,10 @@ def main():
     lines += ["", "## synth() round-trips (random in-gateset circuit targets,",
               "verified outputs only: permutation / GF(2) / tableau /",
               "statevector equality as appropriate)", "",
+              "r5 onward, non-deterministic solves run the temperature-",
+              "ladder portfolio (rl/rollout.solve_temperatures: one greedy",
+              "lane, half ramp, half classic sampling; fewest-2q success",
+              "wins) — r4 rows were measured all-lanes-sampled.", "",
               "| artifact | target depth | verified solve rate "
               "| mean 2q gates | provenance |",
               "|---|---|---|---|---|"]
