@@ -24,7 +24,7 @@ Phases (see examples/train_pauli_27q_full_bc.py, the flagship original):
 The env, policy shape, and warm-start weights come from the artifact
 json/pt, so the refit ships back into the same files and the saved config
 describes the weights' actual training. Evidence rows append to
-runs-evidence/<stem>_bc_r4.jsonl (committed).
+runs-evidence/<stem>_bc_r5.jsonl (committed).
 
 Reference frame: this amplifies the same artifacts whose env defaults
 mirror /root/reference/rust/src/envs/pauli.rs:758-775 and whose curriculum
@@ -54,7 +54,7 @@ def main():
     bc_budget_s = 60 * (float(sys.argv[3]) if len(sys.argv) > 3 else 25.0)
     run = f"runs/{stem}_bc"
     evidence = os.path.join(os.path.dirname(__file__), "..", "runs-evidence",
-                            f"{stem}_bc_r4.jsonl")
+                            f"{stem}_bc_r5.jsonl")
     out_json = os.path.join(MODELS, f"{stem}.json")
     out_pt = os.path.join(MODELS, f"{stem}.pt")
 
@@ -81,10 +81,10 @@ def main():
     rls = RLSynthesis(env, cfg, pol, model_path=out_pt)
     # carry any existing provenance through resaves, then describe this run
     rls.trained_with = (
-        f"{stem}: round-4 BC-bootstrap amplification "
+        f"{stem}: round-5 BC-bootstrap amplification "
         f"(examples/train_pauli_bc.py — planner-demo BC to an eval plateau, "
         f"then AZ + expert replay; best-by-eval snapshot ships; evidence: "
-        f"runs-evidence/{stem}_bc_r4.jsonl). Prior provenance: "
+        f"runs-evidence/{stem}_bc_r5.jsonl). Prior provenance: "
         + (full.get("trained_with") or "none recorded"))
     algo = rls.algorithm
 
