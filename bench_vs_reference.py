@@ -60,7 +60,9 @@ PAIRS = [
     # (reference stem, our stem, checker, target depths)
     ("perm_square_3x3", "perm_grid_3x3", _perm_ck, [4, 8, 16]),
     ("lf_5_line", "lf_5_line", _lf_ck, [4, 8, 16]),
-    ("clifford_3q_custom", "clifford_3q_line", _cliff_ck, [4, 8, 16]),
+    # ours is trained on the REFERENCE's exact env config (gateset copied
+    # verbatim) — examples/train_clifford_3q_custom.py
+    ("clifford_3q_custom", "clifford_3q_custom", _cliff_ck, [4, 8, 16]),
 ]
 
 
