@@ -206,6 +206,8 @@ def main():
             "lf_5_line", dict(difficulties=[4, 8, 16, 24])),
         "clifford_3q_line (PPO, 10 searches)": (
             "clifford_3q_line", dict(difficulties=[4, 8, 16, 24])),
+        "clifford_3q_custom (PPO, 10 searches)": (
+            "clifford_3q_custom", dict(difficulties=[4, 8, 16, 24])),
         "perm_heavy_hex_27q (PPO, 10 searches)": (
             "perm_heavy_hex_27q",
             dict(difficulties=[8, 16, 32], num_episodes=128)),
@@ -301,6 +303,8 @@ def main():
         "lf_5_line": ("lf_5_line", dict(depths=[4, 8], check=lf_ck)),
         "clifford_3q_line": ("clifford_3q_line",
                              dict(depths=[4, 8], check=cliff_ck)),
+        "clifford_3q_custom": ("clifford_3q_custom",
+                               dict(depths=[4, 8], check=cliff_ck)),
         "pauli_5_line (2 rotations)": (
             "pauli_5_line", dict(depths=[3, 6], rotations=2,
                                  check=unitary_ck)),
