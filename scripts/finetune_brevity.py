@@ -1,16 +1,19 @@
 #!/usr/bin/env python
-"""Brevity finetune for lf_5_line (head-to-head 2q gap vs the reference).
+"""Brevity finetune for a small PPO artifact (head-to-head 2q gap vs ref).
 
-bench_vs_reference measured our lf_5_line 0.3 2q behind the reference's
-shipped weights at d8/d16 (solve rate tied at 1.00). This continues PPO
-training from the shipped weights, cycling mid difficulties, and after
-each burst scores the live params on the HEAD-TO-HEAD metric itself
-(seeded random-circuit targets, 100-lane portfolio solve, verified mean
-2q at full solve rate). Only a strictly-better-scoring snapshot is kept,
-and the artifact is only overwritten at the end if the final best beats
-the shipped score — a plateaued run can never regress the artifact.
+bench_vs_reference measured our small-config artifacts a few tenths of a
+2q gate behind the reference's shipped weights on some depths (solve rate
+tied at 1.00). This continues PPO training from the shipped weights,
+cycling mid difficulties, and after each burst scores the live params on
+the HEAD-TO-HEAD metric itself (seeded random-circuit targets, 100-lane
+portfolio solve, verified mean 2q at full solve rate). Only a
+strictly-better-scoring snapshot is kept, and the artifact is only
+overwritten at the end if the final best beats the shipped score — a
+plateaued run can never regress the artifact. Proven on lf_5_line
+(6.58 -> 6.40, shipped, runs-evidence/lf_5_line_brevity_r5.jsonl).
 
-Usage: python scripts/finetune_lf_brevity.py [minutes]
+Usage: python scripts/finetune_brevity.py [stem] [minutes]
+stem in {lf_5_line, clifford_3q_custom, perm_grid_3x3}
 """
 
 import copy
@@ -26,11 +29,17 @@ import numpy as np
 import bench_vs_reference as bvr
 from qiskit_gym_tpu.rl import RLSynthesis
 
-STEM = "lf_5_line"
+CHECKERS = {
+    "lf_5_line": ("_lf_ck", [8, 16]),
+    "clifford_3q_custom": ("_cliff_ck", [8, 16]),
+    "perm_grid_3x3": ("_perm_ck", [8, 16]),
+}
+STEM = sys.argv[1] if len(sys.argv) > 1 else "lf_5_line"
+CHECK = getattr(bvr, CHECKERS[STEM][0])
 MODELS = os.path.join(os.path.dirname(__file__), "..", "examples", "models")
 EVIDENCE = os.path.join(os.path.dirname(__file__), "..", "runs-evidence",
                         f"{STEM}_brevity_r5.jsonl")
-DEPTHS = [8, 16]
+DEPTHS = CHECKERS[STEM][1]
 
 
 def log_row(row):
@@ -52,7 +61,7 @@ def score(rls, num_targets=48):
         for _ in range(num_targets):
             target = bvr._random_target(ref_gs, nq, depth, rng)
             out = rls.synth(target, num_searches=100)
-            if out is None or not bvr._lf_ck(out, target):
+            if out is None or not CHECK(out, target):
                 continue
             ok += 1
             cx.append(bvr._count_2q(out))
@@ -62,7 +71,7 @@ def score(rls, num_targets=48):
 
 
 def main():
-    budget_s = 60 * (float(sys.argv[1]) if len(sys.argv) > 1 else 40.0)
+    budget_s = 60 * (float(sys.argv[2]) if len(sys.argv) > 2 else 40.0)
     out_json = os.path.join(MODELS, f"{STEM}.json")
     out_pt = os.path.join(MODELS, f"{STEM}.pt")
     rls = RLSynthesis.from_config_json(out_json, out_pt)
@@ -96,7 +105,7 @@ def main():
         prior = rls.trained_with
         rls.trained_with = (
             f"{STEM}: round-5 brevity finetune "
-            f"(scripts/finetune_lf_brevity.py) — mean 2q on the seeded "
+            f"(scripts/finetune_brevity.py) — mean 2q on the seeded "
             f"head-to-head protocol {base_2q:.2f} -> {best[1]:.2f} at solve "
             f"{best[0]:.2f} (evidence: runs-evidence/{STEM}_brevity_r5"
             f".jsonl). Prior provenance: " + (prior or "none recorded"))
