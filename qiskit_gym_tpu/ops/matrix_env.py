@@ -326,6 +326,14 @@ class MatrixEnvCore:
         _w = MetricsWeights.from_dict(metrics_weights).as_array()
         self.weights = jnp.asarray(_w)
         self.weights_static = tuple(float(x) for x in _w)
+        # Layer (circuit-depth) tracking is reward-relevant only when either
+        # layer weight is nonzero; the reference defaults zero both
+        # (metrics.rs:157-166), so the default-config hot step skips the
+        # one-hot running-max machinery entirely and last_g/last_c/max_g/
+        # max_c stay frozen at -1 (docs/PERF.md "metrics floor"). Flip this
+        # attribute back on to assert layer fields against the spec twin.
+        self.track_layers = (self.weights_static[1] != 0.0
+                             or self.weights_static[2] != 0.0)
 
         # rank-2 term tables: every gate is G = I xor U S with U [D, 2] dest
         # one-hot combos and S [2, D] source selectors; index A (one past the
@@ -537,6 +545,27 @@ class MatrixEnvCore:
         return self._metrics_update_terms(state, mtype, q1, q2, noop)
 
     def _metrics_update_terms(self, state, mtype, q1, q2, noop):
+        is1q = mtype == MT_1Q
+        iscx = mtype == MT_CX
+        iscz = mtype == MT_CZ
+        issw = mtype == MT_SWAP
+
+        if not self.track_layers:
+            # both layer weights are zero (the reference default): the gate
+            # and cnot counters are the only reward-relevant metrics, and
+            # they are pure decoded-table arithmetic — no [n, B] running-max
+            # work at all. Layer fields stay frozen at their reset value.
+            d_gates = jnp.where(noop, 0, jnp.where(is1q | iscx, 1, 3))
+            d_cnots = jnp.where(is1q | noop, 0, jnp.where(issw, 3, 1))
+            penalty = (
+                self.weights[0] * d_cnots.astype(jnp.float32)
+                + self.weights[3] * d_gates.astype(jnp.float32)
+            )
+            return state._replace(
+                n_cnots=state.n_cnots + d_cnots,
+                n_gates=state.n_gates + d_gates,
+            ), penalty
+
         # The per-qubit layer arrays are processed B-MINOR ([n, B], envs on
         # the 128-lane axis): a [B, n] op at n=27 pads the minor dim to 128
         # lanes, wasting ~4.7x of both the vector registers and the memory
@@ -556,11 +585,6 @@ class MatrixEnvCore:
         lg2 = jnp.max(jnp.where(oh2, lgT, neg), axis=0)
         lc1 = jnp.max(jnp.where(oh1, lcT, neg), axis=0)
         lc2 = jnp.max(jnp.where(oh2, lcT, neg), axis=0)
-
-        is1q = mtype == MT_1Q
-        iscx = mtype == MT_CX
-        iscz = mtype == MT_CZ
-        issw = mtype == MT_SWAP
 
         m_cx = jnp.maximum(lg1, lg2) + 1
         m_sw = jnp.maximum(lg1, lg2) + 3

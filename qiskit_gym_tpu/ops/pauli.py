@@ -189,6 +189,10 @@ class PauliEnvCore:
         _w = MetricsWeights.from_dict(metrics_weights).as_array()
         self.weights = jnp.asarray(_w)
         self.weights_static = tuple(float(x) for x in _w)
+        # see MatrixEnvCore: layer tracking elided when both layer weights
+        # are zero (the reference default), shared _metrics_update_terms
+        self.track_layers = (self.weights_static[1] != 0.0
+                             or self.weights_static[2] != 0.0)
 
         A = len(self.gateset)
         # net tableau matrices factorized as G = I xor U S (+ all-zero no-op

@@ -30,9 +30,12 @@ import bench_vs_reference as bvr
 from qiskit_gym_tpu.rl import RLSynthesis
 
 CHECKERS = {
-    "lf_5_line": ("_lf_ck", [8, 16]),
-    "clifford_3q_custom": ("_cliff_ck", [8, 16]),
-    "perm_grid_3x3": ("_perm_ck", [8, 16]),
+    # score the full head-to-head depth set so the gate tracks exactly what
+    # the published table measures (the first lf/clifford runs scored [8,16]
+    # only and left d4/d16 tenths on the table)
+    "lf_5_line": ("_lf_ck", [4, 8, 16]),
+    "clifford_3q_custom": ("_cliff_ck", [4, 8, 16]),
+    "perm_grid_3x3": ("_perm_ck", [4, 8, 16]),
 }
 STEM = sys.argv[1] if len(sys.argv) > 1 else "lf_5_line"
 CHECK = getattr(bvr, CHECKERS[STEM][0])

@@ -117,8 +117,13 @@ def compare(core, state, specs):
         assert inverted[b] == s.inverted, f"lane {b} inverted"
         assert n_cnots[b] == s.metrics.n_cnots
         assert n_gates[b] == s.metrics.n_gates
-        assert max_g[b] + 1 == s.metrics.n_layers
-        assert max_c[b] + 1 == s.metrics.n_layers_cnots
+        if core.track_layers:
+            assert max_g[b] + 1 == s.metrics.n_layers
+            assert max_c[b] + 1 == s.metrics.n_layers_cnots
+        else:
+            # layer tracking elided (both layer weights zero): fields must
+            # stay frozen at their reset value, reward still bit-exact
+            assert max_g[b] == -1 and max_c[b] == -1
         assert abs(reward[b] - s.reward()) < 1e-6, f"lane {b} reward"
 
 
@@ -136,23 +141,34 @@ def _random_invertible_gf2(n, rng):
             continue
 
 
-def test_linear_env_trace_matches_spec():
+# default weights elide layer tracking (track_layers=False); the layered
+# variant pins the full running-max machinery against the spec twin
+_LAYERED = {"n_layers": 0.25, "n_layers_cnots": 0.05}
+
+
+@pytest.mark.parametrize("mw", [None, _LAYERED])
+def test_linear_env_trace_matches_spec(mw):
     n, B = 5, 8
     gs = line_gateset(["CX", "SWAP"], n)
-    core = MatrixEnvCore(n, gs, "linear", add_inverts=True)
+    core = MatrixEnvCore(n, gs, "linear", add_inverts=True,
+                         metrics_weights=mw)
+    assert core.track_layers == (mw is not None)
     rng = np.random.default_rng(1)
     states = [_random_invertible_gf2(n, rng) for _ in range(B)]
     specs = [
-        LinearFunctionSpecEnv(n, 1, gs, 2, 128, add_inverts=True, add_perms=False)
+        LinearFunctionSpecEnv(n, 1, gs, 2, 128, metrics_weights=mw,
+                              add_inverts=True, add_perms=False)
         for _ in range(B)
     ]
     run_trace(core, specs, states, T=30, seed=11)
 
 
-def test_clifford_env_trace_matches_spec():
+@pytest.mark.parametrize("mw", [None, _LAYERED])
+def test_clifford_env_trace_matches_spec(mw):
     n, B = 3, 8
     gs = line_gateset(["H", "S", "Sdg", "SX", "SXdg", "CX", "CZ", "SWAP"], n)
-    core = MatrixEnvCore(n, gs, "clifford", add_inverts=True)
+    core = MatrixEnvCore(n, gs, "clifford", add_inverts=True,
+                         metrics_weights=mw)
     # random reachable clifford states: scramble via spec env
     specs = []
     states = []
@@ -162,7 +178,8 @@ def test_clifford_env_trace_matches_spec():
                             rng=np.random.default_rng(int(rng.integers(1 << 31))))
         s.reset()
         states.append(s.get_state().copy())
-        spec = CliffordSpecEnv(n, 1, gs, 2, 128, add_inverts=True, add_perms=False)
+        spec = CliffordSpecEnv(n, 1, gs, 2, 128, metrics_weights=mw,
+                               add_inverts=True, add_perms=False)
         specs.append(spec)
     run_trace(core, specs, states, T=30, seed=13)
 
@@ -309,7 +326,9 @@ def test_pallas_metrics_matches_xla():
 
     gateset = [("CX", [0, 1]), ("CX", [1, 0]), ("SWAP", [0, 1]),
                ("CZ", [0, 1]), ("H", [0]), ("S", [1])]
-    core = MatrixEnvCore(2, gateset, "clifford")
+    # nonzero layer weights: the Pallas kernel always tracks layers, so the
+    # XLA side must run its tracked path for the comparison
+    core = MatrixEnvCore(2, gateset, "clifford", metrics_weights=_LAYERED)
     s = core.reset(jax.random.key(0), 16, 4)
     rng = np.random.default_rng(0)
     for t in range(6):

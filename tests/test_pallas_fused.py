@@ -50,6 +50,9 @@ def test_fused_step_bit_exact(coupling, kwargs):
         core = MatrixEnvCore(core.num_qubits, core.gateset, "clifford",
                              bitpack=True)
     assert core.bitpack
+    # the fused kernel always tracks layers; run the XLA side tracked too
+    # (default weights elide it — ops/matrix_env.py track_layers)
+    core.track_layers = True
     B = 48
     state = core.reset(jax.random.key(0), B, 8)
     rng = np.random.default_rng(11)
@@ -76,6 +79,7 @@ def test_fused_step_matrix_families_forced_bitpack(gym_cls, kind):
     env = gym_cls.from_coupling_map(HEAVY_HEX_27)
     base = env.core
     core = MatrixEnvCore(base.num_qubits, base.gateset, kind, bitpack=True)
+    core.track_layers = True  # fused kernel always tracks layers
     B = 32
     state = core.reset(jax.random.key(3), B, 8)
     rng = np.random.default_rng(5)
@@ -94,6 +98,7 @@ def test_fused_step_matrix_families_forced_bitpack(gym_cls, kind):
 def test_fused_step_flag_routes_through_step():
     env = CliffordGym.from_coupling_map(LINE_17)
     core = env.core
+    core.track_layers = True  # fused kernel always tracks layers
     B = 16
     state = core.reset(jax.random.key(2), B, 6)
     actions = jnp.asarray(
