@@ -208,6 +208,47 @@ def bfs_2q(fns, costs, ident_key, log=lambda m: None):
     return visited, dist2q
 
 
+def steps_under_min2q(keys_sorted, dist2q, fns, costs, ident_key):
+    """Minimum ACTION count among minimal-2q paths to the identity, per
+    state. Needed for terminating greedy descent when 1q actions cost 0:
+    processed level by level (a min-2q path from 2q-level L uses only
+    level-L states via 0-cost edges — involutions make those edges
+    undirected, so a 0-edge can never change the level — plus exactly one
+    1-cost edge down to L-1), with Bellman relaxation inside each level."""
+    zero = [f for f, c in zip(fns, costs) if c == 0]
+    one = [f for f, c in zip(fns, costs) if c > 0]
+    INF = np.int32(1 << 30)
+    steps = np.full(len(keys_sorted), INF, np.int32)
+
+    def idx(keys):
+        return np.searchsorted(keys_sorted, keys)
+
+    steps[idx(np.array([ident_key], np.uint64))] = 0
+    for L in range(int(dist2q.max()) + 1):
+        lvl_keys = keys_sorted[dist2q == L]
+        li = idx(lvl_keys)
+        if L > 0:
+            for f in one:
+                ni = idx(f(lvl_keys))
+                cand = np.where(dist2q[ni] == L - 1, steps[ni] + 1, INF)
+                steps[li] = np.minimum(steps[li], cand)
+        frontier = lvl_keys[steps[li] < INF]
+        while len(frontier) and zero:
+            improved = []
+            for f in zero:
+                nk = f(frontier)
+                ni = idx(nk)
+                cand = steps[idx(frontier)] + 1
+                better = (dist2q[ni] == L) & (cand < steps[ni])
+                if better.any():
+                    np.minimum.at(steps, ni[better], cand[better])
+                    improved.append(nk[better])
+            frontier = (np.unique(np.concatenate(improved)) if improved
+                        else np.array([], np.uint64))
+    assert steps.max() < INF, "some state never relaxed"
+    return steps
+
+
 def build_family(stem, env):
     """(action fns, ident key, encode(env_state)->key, 2q costs)."""
     n = env.config["num_qubits"]
@@ -308,20 +349,33 @@ def main():
             return U64((m << np.arange(dim * dim, dtype=np.uint64)).sum())
 
     # ------------------------------------------------------------------ BFS
+    # plain BFS when every action costs one 2q gate; 0-1 Dial BFS plus the
+    # min-steps pass when 1q gates are free (clifford), so the greedy
+    # descent minimizes 2q gates first and action count second
+    costs = [0 if len(g[1]) == 1 else 1 for g in gateset]
     t0 = time.time()
-    shells, keys_sorted, dist_arr = bfs(fns, ident_key, log)
-    diameter = len(shells) - 1
+    if all(c == 1 for c in costs):
+        _, keys_sorted, dist2q = bfs(fns, ident_key, log)
+        steps_arr = dist2q.astype(np.int32)
+    else:
+        keys_sorted, dist2q = bfs_2q(fns, costs, ident_key, log)
+        steps_arr = steps_under_min2q(keys_sorted, dist2q, fns, costs,
+                                      ident_key)
+    # shells by minimal ACTION count: every lane started in shell m ends
+    # on the identity after exactly m lex-optimal moves
+    diameter = int(steps_arr.max())
+    shells = [keys_sorted[steps_arr == m] for m in range(diameter + 1)]
     total = len(keys_sorted)
     log_row({"phase": "bfs", "states": int(total), "diameter": int(diameter),
+             "max_2q": int(dist2q.max()),
              "seconds": round(time.time() - t0, 1)})
-
-    def lookup(keys):
-        return dist_arr[np.searchsorted(keys_sorted, keys)]
 
     # ------------------------- validate packed transitions vs the spec twin
     rng = np.random.default_rng(20260821)
     for _ in range(60):
         d = int(rng.integers(1, diameter + 1))
+        while not len(shells[d]):
+            d = int(rng.integers(1, diameter + 1))
         key = np.array([rng.choice(shells[d])], np.uint64)
         flat = obs_bits(key)[0]
         if kind == "perm":
@@ -347,7 +401,10 @@ def main():
     obs_rows, act_rows, ret_rows = [], [], []
     episodes = 0
     t0 = time.time()
+    carr = np.array(costs, np.int32)[:, None]
     for d in range(1, diameter + 1):
+        if not len(shells[d]):
+            continue
         sel = rng.choice(shells[d], size=min(per_shell, len(shells[d])),
                          replace=len(shells[d]) < per_shell)
         states = sel.astype(np.uint64)
@@ -355,13 +412,23 @@ def main():
         ep_obs, ep_act = [], []
         for t in range(d):
             neigh = np.stack([f(states) for f in fns])          # [A, N]
-            nd = lookup(neigh.reshape(-1)).reshape(A, N)
-            tie = (nd == nd.min(axis=0)[None, :]) * rng.random((A, N))
+            pos = np.searchsorted(keys_sorted, neigh.reshape(-1))
+            nd2 = dist2q[pos].reshape(A, N).astype(np.int32)
+            nst = steps_arr[pos].reshape(A, N)
+            cpos = np.searchsorted(keys_sorted, states)
+            cur2 = dist2q[cpos].astype(np.int32)
+            curst = steps_arr[cpos]
+            # lex-optimal moves: spend the action's 2q cost exactly, and
+            # land on a state one optimal action closer
+            valid = (carr + nd2 == cur2[None, :]) & \
+                (nst == (curst - 1)[None, :])
+            assert valid.any(axis=0).all()
+            tie = valid * (rng.random((A, N)) + 0.5)
             act = tie.argmax(axis=0)
             ep_obs.append(obs_bits(states))
             ep_act.append(act)
             states = neigh[act, np.arange(N)]
-        assert (lookup(states) == 0).all()
+        assert (states == ident_key).all()
         # returns-to-go: success reward 1.0 at the last step, penalties on
         # every step (default weights: cnot/gate counters only)
         rew = np.stack([-pen[a] for a in ep_act])               # [d, N]
