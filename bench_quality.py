@@ -224,7 +224,8 @@ def main():
             "pauli_heavy_hex_27q", dict(difficulties=[4, 8, 14],
                                         num_episodes=128)),
         "az_pauli_18_line (MCTS-64, argmax)": (
-            "az_pauli_18_line", dict(difficulties=[4, 6], num_episodes=64,
+            "az_pauli_18_line", dict(difficulties=[4, 6, 8, 12],
+                                     num_episodes=64,
                                      num_searches=1, mcts=64,
                                      deterministic=True)),
         "az_perm_grid_3x3 (MCTS-64, argmax)": (
