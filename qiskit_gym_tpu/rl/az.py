@@ -56,8 +56,11 @@ def _mcts_act(core, policy_apply, params, env_state, keys_t, t, T,
     visits, root_value, _priors = mcts_search(
         core, policy_apply, params, env_state, k_sim,
         num_sims=num_sims, c_puct=c_puct,
-        # tree-depth cap: selection deeper than ~32 is vanishingly rare
-        # and each extra level is a sequential fori iteration per sim
+        # tree-depth cap: measured harmless in the deepest shipped regime
+        # (scripts/probe_depth_cap.py, runs-evidence/depth_cap_r5.jsonl —
+        # cap 32 vs 64: identical solve rate AND 2q at pauli d24/d32 and
+        # perm d32, while cap 64 costs 1.2-1.9x the wall time); each
+        # extra level is a sequential fori iteration per sim
         max_depth=min(T, 32) if search_depth is None else search_depth,
         dirichlet_alpha=dirichlet_alpha, noise_eps=noise_eps,
         max_expand_depth=max_expand_depth,
