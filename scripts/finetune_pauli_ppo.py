@@ -52,14 +52,38 @@ def main():
     env = rls.env
 
     import bench_quality as bq
-    from qiskit_gym_tpu.quantum import Clifford
+    from qiskit_gym_tpu.quantum import Circuit, Clifford
 
     def cliff_ck(out, t):
         return np.array_equal(Clifford(out).tableau, Clifford(t).tableau)
 
-    def score():
-        sy = bq.synth_quality(STEM, depths=[4, 8], check=cliff_ck)
-        return sy
+    # IN-MEMORY scoring through this rls object (bench_quality's
+    # synth_quality/eval_artifact reload the artifact from DISK each call
+    # and would measure the shipped weights, not the BC'd params — the
+    # round-5 first run of this script shipped on exactly that noise)
+    gs = env.gateset
+    nq = env.config["num_qubits"]
+
+    def score(num_targets=24, depths=(4, 8)):
+        rows = []
+        for depth in depths:
+            rng = np.random.default_rng(99 + depth)
+            ok, cx = 0, []
+            for _ in range(num_targets):
+                qc = Circuit(nq)
+                for _ in range(depth):
+                    name, qs = gs[rng.integers(len(gs))]
+                    qc.append(name.lower(), tuple(int(q) for q in qs))
+                out = rls.synth(qc, num_searches=32)
+                if out is None or not cliff_ck(out, qc):
+                    continue
+                ok += 1
+                cx.append(sum(1 for g in out if len(g[1]) == 2))
+            rows.append({"difficulty": depth,
+                         "solve_rate": ok / num_targets,
+                         "mean_2q": float(np.mean(cx)) if cx
+                         else float("nan")})
+        return rows
 
     def eval_rows():
         return bq.eval_artifact(STEM, difficulties=[4, 8, 14],
@@ -120,11 +144,22 @@ def main():
 
     if best[1]["solve_rate"] > shipped_d8 and \
             best[0]["solve_rate"] >= base_sy[0]["solve_rate"] - 0.02:
+        import shutil
+
+        backup = out_pt + ".pre_bc"
+        shutil.copyfile(out_pt, backup)
         rls.algorithm.params = best_params
         rls.algorithm.best_params = best_params
-        ev = eval_rows()   # final eval sanity on the shipping snapshot
+        rls.save(out_json, out_pt, best=True)
+        # final eval sanity measures the artifact ON DISK — i.e. the
+        # candidate just saved; restore the backup if evals regressed
+        ev = eval_rows()
         ok = all(g["solve_rate"] >= b["solve_rate"] - 0.03
                  for g, b in zip(ev, base_ev))
+        if not ok:
+            shutil.move(backup, out_pt)
+        else:
+            os.remove(backup)
         if ok:
             prior = rls.trained_with
             rls.trained_with = (
