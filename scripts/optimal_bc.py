@@ -293,6 +293,8 @@ def exact_min_2q_table(stem, env):
 def main():
     stem = sys.argv[1]
     budget_s = 60 * (float(sys.argv[2]) if len(sys.argv) > 2 else 45.0)
+    lr = float(sys.argv[3]) if len(sys.argv) > 3 else 3e-4
+    fit_epochs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     check = getattr(bvr, CHECKERS[stem][0])
     depths = CHECKERS[stem][1]
     evidence = os.path.join(os.path.dirname(__file__), "..",
@@ -475,7 +477,7 @@ def main():
     policy_cfg = BasicPolicyConfig.from_json(
         json.load(open(out_json))["policy"])
     bc = RLSynthesis(env, AlphaZeroConfig(num_episodes=8,
-                                          num_mcts_searches=4, lr=3e-4),
+                                          num_mcts_searches=4, lr=lr),
                      policy_cfg, seed=7)
     algo = bc.algorithm
     algo.params = load_params(out_pt)
@@ -490,7 +492,7 @@ def main():
     t0 = time.time()
     burst = 0
     while time.time() - t0 < budget_s:
-        m = fit_demos(algo, demos, epochs=2, num_minibatches=64)
+        m = fit_demos(algo, demos, epochs=fit_epochs, num_minibatches=64)
         rls.algorithm.params = algo.params   # score through the PPO artifact
         s, q = score()
         burst += 1

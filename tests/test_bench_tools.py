@@ -90,13 +90,14 @@ def test_vs_reference_section_write_and_replace(tmp_path):
     bvr = importlib.import_module("bench_vs_reference")
     path = tmp_path / "QUALITY.md"
     path.write_text(DOC)
-    rows = [{"config": "lf_5_line", "depth": 8, "ref_solve": 1.0,
-             "ref_2q": 5.0, "ours_solve": 1.0, "ours_2q": 4.9}]
+    rows = [{"config": "lf_5_line", "depth": 8, "opt_2q": 4.8,
+             "ref_solve": 1.0, "ref_2q": 5.0, "ours_solve": 1.0,
+             "ours_2q": 4.9}]
     sec = bvr.format_section(rows, "r5", "CPU", 24, 100)
     bvr.write_section(str(path), sec)
     out = path.read_text()
     assert bvr.SECTION_MARKER in out
-    assert "| lf_5_line | 8 | 1.00 | 5.0 | 1.00 | 4.9 |" in out
+    assert "| lf_5_line | 8 | 4.8 | 1.00 | 5.0 | 1.00 | 4.9 |" in out
     # prior sections intact
     assert "## BASELINE config #5" in out
     # re-write replaces, not duplicates
@@ -105,5 +106,5 @@ def test_vs_reference_section_write_and_replace(tmp_path):
                      bvr.format_section(rows, "r5", "CPU", 24, 100))
     out2 = path.read_text()
     assert out2.count(bvr.SECTION_MARKER) == 1
-    assert "| lf_5_line | 8 | 1.00 | 5.0 | 1.00 | 4.5 |" in out2
-    assert "| lf_5_line | 8 | 1.00 | 5.0 | 1.00 | 4.9 |" not in out2
+    assert "| lf_5_line | 8 | 4.8 | 1.00 | 5.0 | 1.00 | 4.5 |" in out2
+    assert "| lf_5_line | 8 | 4.8 | 1.00 | 5.0 | 1.00 | 4.9 |" not in out2
